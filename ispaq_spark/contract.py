@@ -1,0 +1,106 @@
+"""The quality-filter contract: constants shared by the reference labeler and
+the Spark pipeline.
+
+This is the graft analog of ispaq's metric catalog + noise-model constant
+tables (IRISMustangMetrics/R/ISPAQUtils.R:30-301 metric metadata;
+IRISSeismic/R/spectralUtils.R:697-747 NLNM/NHNM piecewise constants;
+Python copy ispaq/noise_models.py:12-30): fixed, versioned thresholds and
+model tables that every stage — Python oracle and Spark plan alike — reads
+from one place. Change a threshold here and both sides move together, which
+is what makes the F1/byte-identity gates meaningful.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Tokenization contract: extracted text is whitespace-normalized (single
+# spaces, no leading/trailing), so `text.split(' ')` in Python ==
+# `split(text, ' ')` in Spark == `str_split(text, ' ')` in DuckDB.
+# ---------------------------------------------------------------------------
+
+# Per-language stopword profiles for the heuristic langid stage (the graft
+# analog of the broadcast evalresp response table, ispaq/utils.py:558-673:
+# a small per-target model joined against every document).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "dans"),
+    "it": ("il", "di", "che", "la", "per", "un", "una", "sono", "con", "del"),
+}
+LANGS: tuple[str, ...] = tuple(sorted(STOPWORDS))  # deterministic order
+UNKNOWN_LANG = "und"
+
+# Gopher/C4-style keep/drop thresholds (the graft analog of ispaq's boolean
+# metrics sample_rate_channel 0/1, sampleRateChannelMetric.R:42-46, and
+# dead_channel_gsn 0/1, PSDMetric.R:214 — scalar metrics reduced to a
+# boolean decision). Chosen with wide margins vs the generator distributions
+# so IEEE-double vs IEEE-double comparisons can never straddle a boundary.
+THRESHOLDS = {
+    "min_word_count": 15,
+    "max_word_count": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "min_stopword_ratio": 0.05,
+    "max_symbol_word_ratio": 0.25,
+    "max_dup_5gram_frac": 0.30,
+    "min_lang_conf": 0.03,
+    "max_perplexity": 3000.0,
+    "max_word_len": 40,
+}
+
+# ---------------------------------------------------------------------------
+# Scrub contract: ordered compiled-regex PII replacements + toxicity lexicon.
+# Order is semantics: each pattern applies to the output of the previous one
+# (byte-identical output requires a fixed chain). Fictional profanity only.
+# ---------------------------------------------------------------------------
+TOX_LEXICON: tuple[str, ...] = ("frak", "gorram", "smeg", "drek", "felgercarb")
+
+# (name, pattern, replacement) — patterns restricted to constructs with
+# identical semantics in Python `re` and Java regex (ASCII classes, digit
+# lookarounds instead of \b next to punctuation, (?:)). Order is part of the
+# contract: each rule sees the previous rule's output.
+SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])", "<SSN>"),
+    (
+        "phone",
+        r"(?<![0-9])\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}(?![0-9])",
+        "<PHONE>",
+    ),
+    ("ip", r"(?<![0-9])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9])", "<IP>"),
+    ("tox", r"\b(?:" + "|".join(TOX_LEXICON) + r")\b", "<TOX>"),
+)
+
+COMPILED_SCRUB_RULES: tuple[tuple[str, re.Pattern[str], str], ...] = tuple(
+    (name, re.compile(pat), repl) for name, pat, repl in SCRUB_RULES
+)
+
+# PII patterns only (for the num_pii metric — count BEFORE scrubbing).
+PII_RULE_NAMES = ("email", "ssn", "phone", "ip")
+
+# Symbol contract for symbol_word_ratio: characters outside [a-z0-9 space
+# . , ' - and A-Z]. One class, same in Java and Python.
+SYMBOL_PATTERN = r"[^A-Za-z0-9 .,'\-]"
+COMPILED_SYMBOL = re.compile(SYMBOL_PATTERN)
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram LM contract (KenLM-style, SURVEY.md §2.6 graft substitution):
+# word 3-grams hashed with a fixed 64-bit FNV-1a; unseen n-grams back off to
+# a fixed floor logprob. Deterministic across executors by construction.
+# ---------------------------------------------------------------------------
+LM_ORDER = 3
+LM_FLOOR_LOGPROB = -12.0
+FNV_OFFSET = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+MASK64 = (1 << 64) - 1
+
+
+def fnv1a64(s: str) -> int:
+    """Fixed 64-bit FNV-1a over UTF-8 bytes — the LM's n-gram key hash."""
+    h = FNV_OFFSET
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * FNV_PRIME) & MASK64
+    return h

@@ -1,0 +1,32 @@
+"""HTML -> text extraction stage (Arrow-batched pandas UDF).
+
+Graft slot: mergeTraces gap-fill — the cleaning step that turns raw stored
+bytes into the analyzable signal (IRISSeismic/R/Class-Stream.R:583-700,
+driven from ispaq/irisseismic.py:292-378). The byte-identical-per-url
+contract (BASELINE.json input_hint) is enforced by wrapping the *reference
+implementation itself* (ispaq_spark.reference_impl.extract_text) instead of
+re-implementing it: one code path, two callers.
+
+This is inherently per-string work no Catalyst builtin expresses, so it is
+the sanctioned pandas-UDF slow path — Arrow-batched, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..reference_impl import extract_text
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    # html arrives as a Series of bytes/None (Arrow binary). map() keeps
+    # None -> None; extract_text returns None for undecodable bytes.
+    return html.map(extract_text)
+
+
+def extracted_col(html_col: str = "html") -> Column:
+    return extract_text_udf(F.col(html_col))

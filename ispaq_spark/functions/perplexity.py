@@ -1,0 +1,92 @@
+"""Hashed n-gram LM: distributed training + broadcast scoring.
+
+Graft slot: the evalresp per-target model (ispaq/utils.py:558-673,
+ispaq/evalresp.py:26-238) — an auxiliary model table computed once, then
+joined against every unit of work. Here: a KenLM-style stupid-backoff
+n-gram table (contract: FNV-1a-hashed "k|gram" keys -> counts), trained
+distributedly with explode + groupBy (map-side partial aggregation), then
+``sparkContext.broadcast`` to executors where an Arrow-batched pandas UDF
+scores each document with the SAME scorer the reference labeler uses
+(reference_impl.score_logprob) — one code path, exact parity.
+
+Broadcast lifecycle (SURVEY.md §4 custom item 2): the model dict rides the
+broadcast variable; each Python worker unpickles it once and every UDF batch
+reuses it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..contract import LM_ORDER, fnv1a64
+from ..reference_impl import TOTAL_UNIGRAMS_KEY, perplexity as _ref_perplexity
+
+
+def kgrams_col(text: Column, order: int = LM_ORDER) -> Column:
+    """Array of "k|gram" strings for k=1..order — pure Catalyst (transform/
+    sequence/slice), so training counts never leave the JVM."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    parts = []
+    for k in range(1, order + 1):
+        parts.append(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k - 1)),
+                    lambda i, k=k: F.concat(
+                        F.lit(f"{k}|"), F.array_join(F.slice(toks, i, k), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def train_lm_distributed(
+    corpus: DataFrame, text_col: str = "text", order: int = LM_ORDER
+) -> dict[int, float]:
+    """explode(kgrams) -> groupBy(gram).count() -> driver dict.
+
+    The shuffle is a hash-agg with map-side combine; the result table is
+    model-sized (dimension), so collecting + broadcasting is the right move
+    at any corpus scale — the counts reduce *before* the driver sees them.
+    """
+    counts = (
+        corpus.select(F.explode(kgrams_col(F.col(text_col), order)).alias("g"))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    model: dict[int, float] = {}
+    total1 = 0
+    for row in counts:
+        model[fnv1a64(row["g"])] = float(row["count"])
+        if row["g"].startswith("1|"):
+            total1 += row["count"]
+    model[TOTAL_UNIGRAMS_KEY] = float(total1)
+    return model
+
+
+def perplexity_udf(spark: SparkSession, model: dict[int, float]):
+    """Returns a pandas UDF scoring perplexity with the broadcast model."""
+    bcast = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf(DoubleType())
+    def ppl(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = bcast.value  # unpickled once per Python worker
+        for s in texts:
+            yield s.map(
+                lambda t: _ref_perplexity(t, m) if t is not None else None
+            )
+
+    return ppl
