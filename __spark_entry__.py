@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()    — flagship: the quality-filter metric stage over `documents`.
+queries()  — every implemented operator from SURVEY.md §2 (+ the
+             training-data-pipeline layer: dedup, similarity search, text
+             analysis), defined in ispaq_spark/driver_queries.py.
+oracle_sql() — DuckDB-equivalent SQL per query.
 """
 
 from __future__ import annotations
@@ -13,26 +13,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ispaq_spark import driver_queries as _dq
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: heuristic quality metrics + langid + keep decision over the
+    sf0.001 documents table (the engine's core metric-set stage)."""
+    from pyspark.sql import functions as F
+
+    from ispaq_spark.functions.heuristics import with_heuristics
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = with_heuristics(d, "text")
+    return h.select(
+        "doc_id",
+        "lang",
+        "word_count",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        "max_word_len",
+        "pred_lang",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("dup_5gram_frac", 6).alias("dup_5gram_frac"),
+        (
+            (F.col("word_count") >= 15)
+            & (F.col("mean_word_len") <= 12.0)
+            & (F.col("dup_5gram_frac") <= 0.3)
+        ).alias("keep"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _dq.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _dq.oracle_sql()

@@ -1,0 +1,1032 @@
+"""Driver-contract query registry: every SQL-expressible operator from
+SURVEY.md §2 as a (PySpark DataFrame plan, DuckDB oracle SQL) pair.
+
+Each entry is one operator family of the reference re-expressed Spark-first;
+docstrings cite the reference file:line being grafted. The paired `oracle`
+is ANSI-ish SQL DuckDB runs over the same parquet tables; the driver compares
+row counts, column names, and order-insensitive value hashes — so every
+computed column is aliased identically on both sides, doubles are rounded to
+6 decimals on both sides, and every window/top-k has a total deterministic
+order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .contract import STOPWORDS
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def r6(c) -> F.Column:
+    return F.round(c, 6)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> rows-only check (non-SQL-expressible)
+
+
+_DEFS: list[QueryDef] = []
+
+
+def qdef(name: str, oracle: str | None):
+    def deco(fn):
+        _DEFS.append(QueryDef(name, fn, oracle))
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# §2.4 aggregations
+# ===========================================================================
+
+
+@qdef(
+    "basic_stats",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(min(l_quantity), 6)               AS sample_min,
+           round(quantile_cont(l_quantity, 0.5), 6) AS sample_median,
+           round(avg(l_quantity), 6)               AS sample_mean,
+           round(max(l_quantity), 6)               AS sample_max,
+           round(stddev_pop(l_quantity), 6)        AS sample_rms_var,
+           count(DISTINCT l_quantity)              AS sample_unique
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basicStats (IRISMustangMetrics/R/basicStatsMetric.R:25-59; rmsVariance
+    Class-Stream.R:281-290 = population stddev; sample_unique :44-48) as one
+    hash-aggregate with exact median via sort-based percentile."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.min("l_quantity")).alias("sample_min"),
+        r6(F.percentile("l_quantity", F.lit(0.5))).alias("sample_median"),
+        r6(F.avg("l_quantity")).alias("sample_mean"),
+        r6(F.max("l_quantity")).alias("sample_max"),
+        r6(F.stddev_pop("l_quantity")).alias("sample_rms_var"),
+        F.countDistinct("l_quantity").alias("sample_unique"),
+    )
+
+
+@qdef(
+    "gaps",
+    """
+    WITH d AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CASE WHEN gap_us > 600000000 THEN 1 ELSE 0 END) AS num_gaps,
+           max(gap_us) AS max_gap_us
+    FROM d GROUP BY user_id
+    """,
+)
+def q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gaps/overlaps metric (IRISMustangMetrics/R/gapsMetric.R:31-93; gap
+    detection via inter-trace deltas Class-Stream.R:328-417) as a lag()
+    analytic window + conditional aggregation — no per-group loops."""
+    # events.ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC, so the
+    # cast to TIMESTAMP is value-preserving.
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("gap_us") > 600_000_000, 1).otherwise(0)).alias(
+                "num_gaps"
+            ),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+@qdef(
+    "sessionize",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CASE WHEN date_diff('microsecond',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    )
+    SELECT user_id, sum(brk) + 1 AS n_sessions
+    FROM d GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (the batch analog of the reference's day-window loop,
+    ispaq/simple_metrics.py:83-89): a 30-min-gap break flag summed per key."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap > 1_800_000_000, 1).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg((F.sum("brk") + F.lit(1)).alias("n_sessions"))
+    )
+
+
+@qdef(
+    "hist2d",
+    """
+    SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,
+           count(*) AS hits
+    FROM events GROUP BY event_type, bin
+    """,
+)
+def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 2-D histogram (ispaq/PDF_aggregator.py:73-108: value_counts of
+    (freq, round(power))) = groupBy(key, bin).count()."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+@qdef(
+    "mode_per_group",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin,
+             count(*) AS hits
+      FROM events GROUP BY event_type, bin
+    ), r AS (
+      SELECT event_type, bin, hits,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hits DESC, bin ASC) AS rn
+      FROM h
+    )
+    SELECT event_type, bin AS mode_bin, hits AS mode_hits FROM r WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram mode (ispaq/PDF_aggregator.py:122-124 per-freq
+    mode) via deterministic row_number over (hits desc, bin asc)."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("hits").desc(), F.col("bin").asc()
+    )
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "event_type",
+            F.col("bin").alias("mode_bin"),
+            F.col("hits").alias("mode_hits"),
+        )
+    )
+
+
+@qdef(
+    "corr_per_group",
+    """
+    SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qp_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_talk Pearson correlation (IRISMustangMetrics/R/
+    correlationMetric.R:25-99, cor at :92) as the built-in corr aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("qp_corr")
+    )
+
+
+# ===========================================================================
+# §2.3 joins
+# ===========================================================================
+
+
+@qdef(
+    "dim_join_agg",
+    """
+    SELECT r.r_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 6) AS sum_acctbal,
+           round(avg(c.c_acctbal), 6) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availability ⋈ waveform dimension join (ispaq/simple_metrics.py:113-121
+    does it as iterrows + per-row fetch) as broadcast-hash joins: both dims
+    are tiny, so no shuffle of the fact side."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r6(F.sum("c_acctbal")).alias("sum_acctbal"),
+            r6(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+@qdef(
+    "interval_join",
+    """
+    SELECT e1.user_id, count(*) AS n_follow_clicks
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    WHERE e1.event_type = 'error' AND e2.event_type = 'click'
+    GROUP BY e1.user_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event ⋈ waveform time-window interval join (ispaq/SNR_metrics.py:
+    146-168: per-event [t+tt-w/2, t+tt+w/2] windows): equi-join on the key +
+    range predicate on time, so Spark plans a hash join with the range as a
+    post-filter instead of a cartesian product."""
+    ev = t(spark, sf_dir, "events")
+    e1 = ev.where(F.col("event_type") == "error").alias("e1")
+    e2 = ev.where(F.col("event_type") == "click").alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow_clicks"))
+    )
+
+
+@qdef(
+    "top1_per_key",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS best_order,
+           round(o_totalprice, 6) AS best_total
+    FROM r WHERE rn = 1
+    """,
+)
+def q_top1_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-neighbor-with-data top-1-per-key (ispaq/crossCorrelation_
+    metrics.py:258-323: sort by distance, take first) as row_number()=1."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_order"),
+            r6(F.col("o_totalprice")).alias("best_total"),
+        )
+    )
+
+
+@qdef(
+    "semi_anti",
+    """
+    WITH w AS (
+      SELECT c.c_custkey, c.c_nationkey FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ), wo AS (
+      SELECT c.c_custkey, c.c_nationkey FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT n.n_name,
+           coalesce(ww.n, 0) AS with_orders,
+           coalesce(aa.n, 0) AS without_orders
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, count(*) n FROM w GROUP BY 1) ww
+      ON ww.c_nationkey = n.n_nationkey
+    LEFT JOIN (SELECT c_nationkey, count(*) n FROM wo GROUP BY 1) aa
+      ON aa.c_nationkey = n.n_nationkey
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semi/anti joins ('only targets with metadata' ispaq/SNR_metrics.py:
+    140-142; 'skip targets with no data' simple_metrics.py:122-140) as real
+    left_semi / left_anti operators, stitched per nation."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_nationkey").alias("nk_semi"))
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nk_anti"))
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return (
+        n.join(semi, n.n_nationkey == semi.nk_semi, "left")
+        .join(anti, n.n_nationkey == anti.nk_anti, "left")
+        .select(
+            "n_name",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+@qdef(
+    "pairs_self_join",
+    """
+    SELECT n.n_name, count(*) AS n_pairs
+    FROM supplier s1
+    JOIN supplier s2 ON s1.s_nationkey = s2.s_nationkey
+                    AND s1.s_suppkey < s2.s_suppkey
+    JOIN nation n ON n.n_nationkey = s1.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_pairs_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """channel-pairs-at-same-SN.L self-join (ispaq/crossTalk_metrics.py:
+    158-260: all 2-3 channel pairs per group) as a self-equi-join with
+    key1 < key2 — itertools.combinations as a relational operator."""
+    s = t(spark, sf_dir, "supplier")
+    s1, s2 = s.alias("s1"), s.alias("s2")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+            & (F.col("s1.s_suppkey") < F.col("s2.s_suppkey")),
+        )
+        .join(n, F.col("s1.s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ===========================================================================
+# §2.2 / §2.7 filters, dedup, sort/limit, set ops
+# ===========================================================================
+
+
+@qdef(
+    "dedup_exact",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_distinct
+    FROM documents GROUP BY lang
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup (concierge.py:1001-1005 drop_duplicates) — dropDuplicates
+    on content within partition key, counted against the raw cardinality."""
+    d = t(spark, sf_dir, "documents")
+    raw = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    ded = (
+        d.dropDuplicates(["lang", "text"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return raw.join(ded, "lang").select("lang", "n_docs", "n_distinct")
+
+
+@qdef(
+    "rlike_filter",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE regexp_matches(event_type, '^(cl|er)')
+      AND json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_rlike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """channelFilter regex predicate (ispaq/simple_metrics.py:43,73-78 e.g.
+    '[BH][HX].') as rlike, plus JSON field access on the props column."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            F.col("event_type").rlike("^(cl|er)")
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@qdef(
+    "unpivot_eav",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             round(min(l_quantity), 6) AS min_qty,
+             round(max(l_quantity), 6) AS max_qty,
+             round(avg(l_quantity), 6) AS avg_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'min_qty' AS metricName, min_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'max_qty', max_qty FROM a
+    UNION ALL
+    SELECT l_returnflag, 'avg_qty', avg_qty FROM a
+    """,
+)
+def q_unpivot_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wide -> long EAV (metricList2DF, IRISMustangMetrics/R/
+    Class-Metric.R:487-573) via the built-in unpivot operator."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_returnflag").agg(
+        r6(F.min("l_quantity")).alias("min_qty"),
+        r6(F.max("l_quantity")).alias("max_qty"),
+        r6(F.avg("l_quantity")).alias("avg_qty"),
+    )
+    return a.unpivot(
+        ["l_returnflag"], ["min_qty", "max_qty", "avg_qty"], "metricName", "value"
+    )
+
+
+@qdef(
+    "sigfig",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice / pow(10, floor(log10(abs(o_totalprice))) - 5))
+             * pow(10, floor(log10(abs(o_totalprice))) - 5) AS sig6
+    FROM orders
+    """,
+)
+def q_sigfig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-significant-figure output formatting (ispaq/utils.py:364-370) as a
+    closed-form scale-shift/round/unshift column expression (round's scale
+    argument must be a literal in both engines, so the shift is explicit)."""
+    o = t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    p = F.pow(F.lit(10.0), F.floor(F.log10(F.abs(x))) - F.lit(5))
+    return o.select(
+        "o_orderkey",
+        (F.round(x / p, 0) * p).alias("sig6"),
+    )
+
+
+# ===========================================================================
+# Text analysis over `documents` (the training-data-pipeline layer)
+# ===========================================================================
+
+_EN = STOPWORDS["en"]
+_EN_SQL = "[" + ", ".join(f"'{w}'" for w in _EN) + "]"
+
+
+@qdef(
+    "text_heuristics",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, str_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS word_count,
+           round((length(text) - len(words) + 1) / len(words), 6)
+             AS mean_word_len,
+           list_max(list_transform(words, x -> length(x))) AS max_word_len,
+           round(len(list_filter(words, x -> list_contains({_EN_SQL}, x)))
+                 / len(words), 6) AS stopword_ratio_en
+    FROM w
+    """,
+)
+def q_text_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 heuristic metrics as pure Catalyst exprs (the pipeline's
+    heuristics stage, functions/heuristics.py, over the driver table)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.array(*[F.lit(x) for x in _EN])
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("word_count"),
+        r6((F.length("text") - n + F.lit(1)) / n).alias("mean_word_len"),
+        F.array_max(F.transform(toks, F.length)).cast("bigint").alias(
+            "max_word_len"
+        ),
+        r6(
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / n
+        ).alias("stopword_ratio_en"),
+    )
+
+
+@qdef(
+    "dup_3gram",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 3 THEN
+               [array_to_string(words[i:i+2], ' ')
+                for i in range(1, len(words) - 1)]
+             ELSE [] END AS grams
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN len(grams) > 0 THEN
+             round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+           ELSE 0.0 END AS dup_3gram_frac
+    FROM g
+    """,
+)
+def q_dup_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repetition n-gram fraction (pipeline dup metric; rolling-window
+    shingle construction = seismicRoll-style strided windows, SURVEY.md §2.5)
+    entirely with transform/sequence/slice — arrays never leave the JVM."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("grams", grams)
+    frac = F.when(
+        F.size("grams") > 0,
+        r6(
+            F.lit(1.0)
+            - F.size(F.array_distinct("grams")) / F.size("grams")
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select("doc_id", frac.alias("dup_3gram_frac"))
+
+
+def _langid_sql_cascade() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(words, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, str_split(text, ' ') AS words FROM documents
+    ), s AS (
+      SELECT doc_id, lang, words, {best} AS best FROM w
+    )
+    SELECT lang, CASE WHEN best <= 0 THEN 'und' {whens} ELSE 'und' END
+             AS pred_lang,
+           count(*) AS n
+    FROM s GROUP BY lang, pred_lang
+    """
+
+
+@qdef("langid_confusion", _langid_sql_cascade())
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stopword-vote langid (pipeline langid stage) aggregated into a
+    (labeled lang x predicted lang) confusion table."""
+    from .functions.heuristics import with_heuristics
+
+    d = t(spark, sf_dir, "documents")
+    h = with_heuristics(d, "text")
+    return h.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@qdef(
+    "token_count",
+    """
+    SELECT lang,
+           sum(len(str_split(text, ' '))) AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token counting two ways (whitespace + regex tokenizer) — the BPE-ish
+    counting surface of the training-data layer, all JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+        F.sum(F.regexp_count("text", F.lit("[a-z0-9]+"))).alias("re_tokens"),
+    )
+
+
+@qdef(
+    "fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document fingerprinting via content hash (dedup key; both engines
+    agree on md5 hex)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+
+
+@qdef(
+    "quality_keep",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, text, str_split(text, ' ') AS words FROM documents
+    ), m AS (
+      SELECT lang,
+             len(words) AS wc,
+             (length(text) - len(words) + 1) / len(words) AS mwl,
+             len(list_filter(words, x -> list_contains({EN}, x)))
+               / len(words) AS swr
+      FROM w
+    )
+    SELECT lang,
+           CASE WHEN wc >= 15 AND wc <= 100000
+                 AND mwl >= 2.0 AND mwl <= 12.0
+                 AND swr >= 0.0 THEN true ELSE false END AS keep,
+           count(*) AS n
+    FROM m GROUP BY lang, keep
+    """.replace("{EN}", _EN_SQL),
+)
+def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep/drop decision over the driver `documents` table (word-count +
+    mean-word-len + stopword gates — the SQL-expressible slice of the
+    pipeline's decision stage)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sw = F.array(*[F.lit(x) for x in _EN])
+    mwl = (F.length("text") - n + F.lit(1)) / n
+    swr = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / n
+    keep = (
+        (n >= 15)
+        & (n <= 100_000)
+        & (mwl >= 2.0)
+        & (mwl <= 12.0)
+        & (swr >= 0.0)
+    )
+    return d.groupBy("lang", keep.alias("keep")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@qdef(
+    "unigram_ppl",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), tot AS (SELECT sum(c) AS total FROM freq),
+    doc AS (
+      SELECT tok.doc_id, tok.lang,
+             avg(-ln(freq.c / tot.total)) AS nll
+      FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot
+      GROUP BY tok.doc_id, tok.lang
+    )
+    SELECT lang, round(avg(exp(nll)), 4) AS avg_ppl
+    FROM doc GROUP BY lang
+    """,
+)
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus-trained unigram perplexity, fully relational: explode tokens ->
+    frequency table -> broadcast join back -> per-doc mean NLL -> per-lang
+    mean perplexity. The SQL-checkable twin of the pipeline's hashed-ngram
+    LM stage (functions/perplexity.py)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    doc = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("c") / F.col("total"))).alias("nll"))
+    )
+    return doc.groupBy("lang").agg(
+        F.round(F.avg(F.exp("nll")), 4).alias("avg_ppl")
+    )
+
+
+# ===========================================================================
+# Dedup: MinHash / SimHash / n-gram Jaccard (training-data-pipeline layer)
+# ===========================================================================
+
+_N_MINHASH = 4
+
+
+def _hex_hash_spark(col):
+    """First 8 md5 hex chars -> bigint. Both engines agree on md5, so this is
+    a portable 32-bit content hash (used instead of murmur, which DuckDB
+    lacks)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n           ".join(
+        "list_min(list_transform(grams, s -> "
+        f"(('0x' || substr(md5('{j}|' || s), 1, 8))::BIGINT))) AS mh{j}"
+        for j in range(_N_MINHASH)
+    )
+
+
+@qdef(
+    "minhash_signatures",
+    f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [array_to_string(words[i:i+2], ' ')
+              for i in range(1, len(words) - 1)] AS grams
+      FROM w WHERE len(words) >= 3
+    )
+    SELECT doc_id,
+           {_minhash_sql_cols()}
+    FROM g
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-word shingles (shingle -> salted hash ->
+    min), k=4 permutations — the signature stage of MinHash-LSH near-dup
+    detection. Pure Catalyst: transform/slice/array_min, no Python."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    d = d.where(n >= 3).withColumn("grams", grams)
+
+    def sig(j: int):
+        # NOTE: single-arg lambda only — a two-arg lambda would be treated
+        # by F.transform as (element, index) and shadow the closure var.
+        prefix = f"{j}|"
+        return F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda s: _hex_hash_spark(F.concat(F.lit(prefix), s)),
+            )
+        ).alias(f"mh{j}")
+
+    return d.select("doc_id", *[sig(j) for j in range(_N_MINHASH)])
+
+
+@qdef(
+    "simhash16",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id, (('0x' || substr(md5(w), 1, 8))::BIGINT) AS hw FROM tok
+    ), bits AS (
+      SELECT doc_id, b.b AS b,
+             sum(CASE WHEN (hw >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) near-dup fingerprint: per distinct token a content
+    hash votes +1/-1 on each bit; the sign vector packs into an int.
+    Expressed relationally (explode -> conditional agg -> bit pack)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    h = tok.withColumn("hw", _hex_hash_spark(F.col("w")))
+    bits = spark.range(0, 16).select(F.col("id").cast("int").alias("b"))
+    votes = (
+        h.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(hw >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+@qdef(
+    "jaccard_pairs",
+    """
+    WITH w AS (
+      SELECT doc_id, source, lang,
+             list_distinct(str_split(text, ' ')) AS ws
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(
+             len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+             / (len(a.ws) + len(b.ws)
+                - len(list_filter(a.ws, x -> list_contains(b.ws, x)))),
+             6) AS jaccard
+    FROM w a JOIN w b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring over blocked candidate pairs — the
+    verify stage of LSH dedup. Blocking key (source, lang) bounds the
+    self-join (the nearest-compatible-neighbor pattern,
+    ispaq/crossCorrelation_metrics.py:182-323)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            r6(inter / union).alias("jaccard"),
+        )
+    )
+
+
+# ===========================================================================
+# Similarity search over `embeddings`
+# ===========================================================================
+
+import random as _random
+
+_rng = _random.Random("lsh-planes")
+LSH_PLANES: list[list[int]] = [
+    [_rng.choice([-1, 1]) for _ in range(64)] for _ in range(8)
+]
+
+
+def _dot_sql(vec_expr: str, plane: list[int]) -> str:
+    lit = "[" + ", ".join(str(v) for v in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> "
+        f"{vec_expr}[i] * ({lit}::DOUBLE[])[i]))"
+    )
+
+
+@qdef(
+    "cosine_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+               6) AS cos
+      FROM e CROSS JOIN q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: query vector broadcast against
+    every embedding; dot/norms via zip_with + aggregate (in-row, JVM-side,
+    no explode shuffle); deterministic order (cos desc, vec_id asc)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where("vec_id = 0").select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.zip_with("qv", "qv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        e.where("vec_id <> 0")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", r6(dot / (nv * nq)).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@qdef(
+    "ann_lsh_buckets",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT
+      { ' + '.join(f"(CASE WHEN {_dot_sql('v', p)} >= 0 THEN {1 << j} ELSE 0 END)" for j, p in enumerate(LSH_PLANES)) }
+        AS bucket,
+      count(*) AS n
+    FROM e GROUP BY bucket
+    """,
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing — the scale path for ANN: 8 signed
+    projections pack into a bucket id; search only needs the query's bucket
+    (+ neighbors). Hyperplanes are deterministic module constants, shared
+    verbatim with the oracle SQL."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = F.lit(0)
+    for j, p in enumerate(LSH_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with("v", plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# Registry accessors (consumed by __spark_entry__.py)
+# ===========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {d.name: d.spark for d in _DEFS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {d.name: d.oracle for d in _DEFS if d.oracle is not None}

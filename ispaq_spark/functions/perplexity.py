@@ -33,19 +33,21 @@ def kgrams_col(text: Column, order: int = LM_ORDER) -> Column:
     sequence/slice), so training counts never leave the JVM."""
     toks = F.split(text, " ")
     n = F.size(toks)
-    parts = []
-    for k in range(1, order + 1):
-        parts.append(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - F.lit(k - 1)),
-                    lambda i, k=k: F.concat(
-                        F.lit(f"{k}|"), F.array_join(F.slice(toks, i, k), " ")
-                    ),
+    def kpart(k: int):
+        # single-arg lambda only: a two-arg lambda would become
+        # (element, index) under F.transform and shadow k.
+        prefix = f"{k}|"
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat(
+                    F.lit(prefix), F.array_join(F.slice(toks, i, k), " ")
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    parts = [kpart(k) for k in range(1, order + 1)]
     out = parts[0]
     for p in parts[1:]:
         out = F.concat(out, p)
