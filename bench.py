@@ -1,0 +1,120 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Runs (a) the end-to-end quality pipeline over a deterministic synthetic
+pages corpus sized to the scale factor, and (b) the headline operator
+queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR, on
+local[$SPARK_GRAFT_CPUS]. Every query is forced with a noop-format write
+(full computation, no driver collect).
+
+Output: {"metric": "total_bench_sec", "value": N, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = (
+    "basic_stats",
+    "gaps",
+    "sessionize",
+    "dim_join_agg",
+    "interval_join",
+    "top1_per_key",
+    "semi_anti",
+    "pairs_self_join",
+    "hist2d",
+    "mode_per_group",
+    "corr_per_group",
+    "dedup_exact",
+    "text_heuristics",
+    "dup_3gram",
+    "langid_confusion",
+    "token_count",
+    "unigram_ppl",
+    "minhash_signatures",
+    "simhash16",
+    "jaccard_pairs",
+    "cosine_topk",
+    "ann_lsh_buckets",
+)
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from ispaq_spark import driver_queries as dq
+    from ispaq_spark.pipeline import run_pipeline, rollup_lineage
+    from ispaq_spark.session import get_spark
+    from ispaq_spark.synthesize import default_model, pages_df
+
+    sf = sf_of(SF_DIR)
+    spark = get_spark(
+        app_name="ispaq_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- end-to-end quality pipeline (the engine's headline job) ---------
+    n_docs = max(500, int(200_000 * sf))
+    model = default_model()
+    pages = pages_df(spark, n_docs, partitions=CPUS * 4).cache()
+    pages.count()  # materialize outside the timed window
+    # warm-up: python-worker spin-up + codegen JIT excluded from steady-state
+    force(run_pipeline(spark, pages.limit(1024), model=model))
+    t0 = time.time()
+    out = run_pipeline(spark, pages, model=model)
+    force(out)
+    pipeline_sec = time.time() - t0
+    timings["quality_pipeline"] = round(pipeline_sec, 3)
+    t0 = time.time()
+    force(rollup_lineage(run_pipeline(spark, pages, model=model)))
+    timings["pipeline_with_rollup"] = round(time.time() - t0, 3)
+    pages.unpersist()
+
+    # --- operator queries at SF_DIR ---------------------------------------
+    qs = dq.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": round(n_docs / pipeline_sec, 1),
+                "n_docs": n_docs,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,3 +30,26 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 def extracted_col(html_col: str = "html") -> Column:
     return extract_text_udf(F.col(html_col))
+
+
+def fused_extract_ppl_udf(spark, model: dict[int, float]):
+    """One-crossing fused stage: html -> (extracted_text, perplexity).
+
+    The modular path round-trips the extracted text JVM->Python->JVM->Python;
+    fusing halves the Arrow traffic and the Python batch count. Calls the
+    same reference functions, so parity is unchanged.
+    """
+    from ..reference_impl import perplexity as _ppl
+
+    bcast = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf("extracted_text string, perplexity double")
+    def fused(html: pd.Series) -> pd.DataFrame:
+        m = bcast.value
+        texts = html.map(extract_text)
+        ppl = texts.map(lambda t: _ppl(t, m) if t is not None else None)
+        return pd.DataFrame(
+            {"extracted_text": texts, "perplexity": ppl}
+        )
+
+    return fused

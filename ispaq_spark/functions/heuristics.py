@@ -25,12 +25,20 @@ from ..contract import (
     SCRUB_RULES,
     PII_RULE_NAMES,
     STOPWORDS,
-    SYMBOL_PATTERN,
     THRESHOLDS,
     UNKNOWN_LANG,
 )
 
-TOKENS = "_tokens"  # internal working column, dropped by the pipeline
+TOKENS = "_tokens"  # internal working columns, dropped by the pipeline
+GRAMS = "_grams"
+
+# Every char NOT in this set counts as a symbol — the complement of
+# contract.SYMBOL_PATTERN's negated class. Counting via translate() (a
+# char-map lookup) is ~20x cheaper than regexp_count with the class, with
+# identical semantics for single-char class matches.
+_ALLOWED_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 .,'-"
+)
 
 
 def tokens_col(text: Column) -> Column:
@@ -43,15 +51,39 @@ def stopword_hits(tokens: Column, lang: str) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
 
 
-def fivegram_frac(tokens: Column, n: Column) -> Column:
-    grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(4)),
-        lambda i: F.array_join(F.slice(tokens, i, 5), " "),
-    )
+def fivegram_col(tokens: Column, n: Column) -> Column:
+    """5-gram shingle *hash* array — allocation-light distinct counting.
+
+    Building the n shingle STRINGS per document (~30 UTF-16 chars each)
+    made GC the scaling bottleneck at 32 threads; instead each token is
+    xxhash64'd once and 5 consecutive hashes combine with rotate-xor (pure
+    long ops, ANSI-overflow-safe). Collision probability per doc is
+    ~n²/2^64 — the exact-string reference parity tests stay exact in
+    practice. Materialized once: HOFs are not CSE'd."""
+    tok_h = F.transform(tokens, lambda t: F.xxhash64(t))
     return F.when(
         n >= 5,
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
-    ).otherwise(F.lit(0.0))
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(4)),
+            lambda i: _combine5(tok_h, i),
+        ),
+    )
+
+
+def _combine5(tok_h: Column, i: Column) -> Column:
+    acc = F.element_at(tok_h, i)
+    for j in range(1, 5):
+        rot = F.shiftleft(acc, 13).bitwiseXOR(F.shiftrightunsigned(acc, 51))
+        acc = rot.bitwiseXOR(F.element_at(tok_h, i + F.lit(j)))
+    return acc
+
+
+def symbol_count(text: Column) -> Column:
+    """Count of chars outside the allowed set, via translate (no regex):
+    deleting every allowed char leaves exactly the symbol chars. Exactly
+    equals regexp_count(text, SYMBOL_PATTERN) for a single-char negated
+    class; tests/test_symbol_translate.py pins the parity."""
+    return F.length(F.translate(text, _ALLOWED_CHARS, ""))
 
 
 def pii_count(text: Column) -> Column:
@@ -109,16 +141,21 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .drop(*hit_cols.values())
     )
 
+    df = df.withColumn("symbol_word_ratio", symbol_count(text) / n)
+    df = df.withColumn(GRAMS, fivegram_col(toks, n))
     df = df.withColumn(
-        "symbol_word_ratio",
-        F.regexp_count(text, F.lit(SYMBOL_PATTERN)) / n,
-    )
-    df = df.withColumn(
-        "dup_5gram_frac", F.when(text.isNotNull(), fivegram_frac(toks, n))
+        "dup_5gram_frac",
+        F.when(text.isNull(), F.lit(None).cast("double"))
+        .when(
+            F.col(GRAMS).isNotNull(),
+            F.lit(1.0)
+            - F.size(F.array_distinct(GRAMS)) / F.size(GRAMS),
+        )
+        .otherwise(F.lit(0.0)),
     )
     df = df.withColumn("num_pii", F.when(text.isNotNull(), pii_count(text)))
     df = df.withColumn("num_tox", F.when(text.isNotNull(), tox_count(text)))
-    return df.drop(TOKENS)
+    return df.drop(TOKENS, GRAMS)
 
 
 def keep_expr() -> Column:

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from ..contract import LM_ORDER, fnv1a64
+from ..contract import LM_ORDER, ngram_hash
 from ..reference_impl import TOTAL_UNIGRAMS_KEY, perplexity as _ref_perplexity
 
 
@@ -72,7 +72,7 @@ def train_lm_distributed(
     model: dict[int, float] = {}
     total1 = 0
     for row in counts:
-        model[fnv1a64(row["g"])] = float(row["count"])
+        model[ngram_hash(row["g"])] = float(row["count"])
         if row["g"].startswith("1|"):
             total1 += row["count"]
     model[TOTAL_UNIGRAMS_KEY] = float(total1)

@@ -33,7 +33,7 @@ from .contract import (
     STOPWORDS,
     THRESHOLDS,
     UNKNOWN_LANG,
-    fnv1a64,
+    ngram_hash,
 )
 
 # ---------------------------------------------------------------------------
@@ -82,11 +82,11 @@ def extract_text(html_bytes: bytes | None) -> str | None:
 # ---------------------------------------------------------------------------
 
 LOG_BACKOFF = math.log(0.4)  # stupid-backoff alpha per level, in nats
-TOTAL_UNIGRAMS_KEY = fnv1a64("__total_unigrams__")
+TOTAL_UNIGRAMS_KEY = ngram_hash("__total_unigrams__")
 
 
 def train_lm(corpus: list[str], order: int = LM_ORDER) -> dict[int, float]:
-    """Count n-grams (1..order) over tokenized docs -> {fnv1a64("k|gram"):
+    """Count n-grams (1..order) over tokenized docs -> {ngram_hash("k|gram"):
     count}, plus the unigram total under TOTAL_UNIGRAMS_KEY.
 
     The Spark-side distributed trainer (functions/perplexity.py) produces the
@@ -99,7 +99,7 @@ def train_lm(corpus: list[str], order: int = LM_ORDER) -> dict[int, float]:
         toks = doc.split(" ")
         for k in range(1, order + 1):
             for i in range(len(toks) - k + 1):
-                h = fnv1a64(f"{k}|" + " ".join(toks[i : i + k]))
+                h = ngram_hash(f"{k}|" + " ".join(toks[i : i + k]))
                 model[h] = model.get(h, 0.0) + 1.0
         total1 += len(toks)
     model[TOTAL_UNIGRAMS_KEY] = float(total1)
@@ -119,7 +119,7 @@ def score_logprob(text: str, model: dict[int, float], order: int = LM_ORDER) -> 
     for i in range(len(toks)):
         lp = LM_FLOOR_LOGPROB
         for k in range(min(order, i + 1), 0, -1):
-            c = model.get(fnv1a64(f"{k}|" + " ".join(toks[i - k + 1 : i + 1])))
+            c = model.get(ngram_hash(f"{k}|" + " ".join(toks[i - k + 1 : i + 1])))
             if c is None:
                 continue
             if k == 1:
@@ -128,7 +128,7 @@ def score_logprob(text: str, model: dict[int, float], order: int = LM_ORDER) -> 
                 # superset property: a seen k-gram implies its (k-1) prefix
                 # was counted, so the lookup cannot miss.
                 denom = model.get(
-                    fnv1a64(f"{k - 1}|" + " ".join(toks[i - k + 1 : i])), c
+                    ngram_hash(f"{k - 1}|" + " ".join(toks[i - k + 1 : i])), c
                 )
             lp = math.log(c / denom) + LOG_BACKOFF * (order - k)
             break

@@ -27,6 +27,8 @@ class MetricSet:
     name: str
     kind: str  # 'sql' (WholeStageCodegen) | 'arrow' (pandas UDF batches)
     columns: tuple[str, ...]
+    # COLUMN names this set consumes; resolution pulls a provider set for any
+    # column not yet present (input columns count as present).
     requires: tuple[str, ...] = ()
     # apply(df, ctx) -> df with `columns` appended. ctx: PipelineContext.
     apply: Callable[[DataFrame, "PipelineContext"], DataFrame] = field(
@@ -79,67 +81,118 @@ def _decision(df: DataFrame, ctx: PipelineContext) -> DataFrame:
     return df.withColumn("keep", keep_expr())
 
 
+def _extract_ppl(df: DataFrame, ctx: PipelineContext) -> DataFrame:
+    """Fused Arrow stage: ONE JVM<->Python crossing computes extraction AND
+    perplexity (the modular path ships the extracted text back to the JVM
+    only to ship it to Python again for scoring — the dominant overhead at
+    scale, the analog of the reference's repeated rpy2 crossings per metric
+    group, ispaq/irismustangmetrics.py:56-93)."""
+    from .functions.extraction import fused_extract_ppl_udf
+
+    if ctx.model is None:
+        from .synthesize import default_model
+
+        ctx.model = default_model()
+    udf = fused_extract_ppl_udf(ctx.spark, ctx.model)
+    df = df.withColumn("_ep", udf(F.col("html")))
+    return (
+        df.withColumn("extracted_text", F.col("_ep.extracted_text"))
+        .withColumn("perplexity", F.col("_ep.perplexity"))
+        .drop("_ep")
+    )
+
+
+_HEUR_COLS = (
+    "word_count",
+    "mean_word_len",
+    "max_word_len",
+    "pred_lang",
+    "stopword_ratio",
+    "lang_conf",
+    "symbol_word_ratio",
+    "dup_5gram_frac",
+    "num_pii",
+    "num_tox",
+)
+
 REGISTRY: dict[str, MetricSet] = {
     m.name: m
     for m in (
+        MetricSet("extraction", "arrow", ("extracted_text",), (), _extraction),
         MetricSet(
-            "extraction", "arrow", ("extracted_text",), (), _extraction
+            "extract_ppl",
+            "arrow",
+            ("extracted_text", "perplexity"),
+            (),
+            _extract_ppl,
         ),
         MetricSet(
-            "heuristics",
-            "sql",
-            (
-                "word_count",
-                "mean_word_len",
-                "max_word_len",
-                "pred_lang",
-                "stopword_ratio",
-                "lang_conf",
-                "symbol_word_ratio",
-                "dup_5gram_frac",
-                "num_pii",
-                "num_tox",
-            ),
-            ("extraction",),
-            _heuristics,
+            "heuristics", "sql", _HEUR_COLS, ("extracted_text",), _heuristics
         ),
         MetricSet(
-            "perplexity", "arrow", ("perplexity",), ("extraction",), _perplexity
+            "perplexity",
+            "arrow",
+            ("perplexity",),
+            ("extracted_text",),
+            _perplexity,
         ),
-        MetricSet("scrub", "sql", ("scrubbed_text",), ("extraction",), _scrub),
+        MetricSet(
+            "scrub", "sql", ("scrubbed_text",), ("extracted_text",), _scrub
+        ),
         MetricSet(
             "decision",
             "sql",
             ("keep",),
-            ("heuristics", "perplexity"),
+            _HEUR_COLS + ("perplexity",),
             _decision,
         ),
     )
 }
 
+# Default provider per column (modular stages; the fused stage is opted into
+# via aliases).
+DEFAULT_PROVIDER: dict[str, str] = {
+    "extracted_text": "extraction",
+    "perplexity": "perplexity",
+    "scrubbed_text": "scrub",
+    "keep": "decision",
+    **{c: "heuristics" for c in _HEUR_COLS},
+}
+
+# Columns present on the input table (BASELINE.json input_hint) — always
+# satisfied without a provider.
+INPUT_COLS = frozenset({"url", "warc_ts", "html", "text", "lang", "ds"})
+
 # Preference-file-style aliases (ispaq/preference_files/default.txt Metrics
-# section analog).
+# section analog). `default` uses the fused Arrow stage (one Python
+# crossing); `modular` keeps each stage separate.
 ALIASES: dict[str, tuple[str, ...]] = {
-    "default": ("extraction", "heuristics", "perplexity", "scrub", "decision"),
+    "default": ("extract_ppl", "heuristics", "scrub", "decision"),
+    "modular": ("extraction", "heuristics", "perplexity", "scrub", "decision"),
     "heuristicsOnly": ("extraction", "heuristics"),
     "scrubOnly": ("extraction", "scrub"),
 }
 
 
 def resolve(names: tuple[str, ...] | str) -> list[MetricSet]:
-    """Alias/name list -> dependency-ordered unique MetricSet list."""
+    """Alias/name list -> ordered unique MetricSet list with column-level
+    dependency resolution (a required column already provided by an earlier
+    set — e.g. perplexity from the fused stage — pulls no extra provider)."""
     if isinstance(names, str):
         names = ALIASES.get(names, (names,))
     ordered: list[str] = []
+    provided: set[str] = set(INPUT_COLS)
 
-    def visit(n: str) -> None:
+    def add(n: str) -> None:
         if n in ordered:
             return
         ms = REGISTRY[n]
-        for dep in ms.requires:
-            visit(dep)
+        for col in ms.requires:
+            if col not in provided:
+                add(DEFAULT_PROVIDER[col])
         ordered.append(n)
+        provided.update(ms.columns)
 
     for n in names:
-        visit(n)
+        add(n)
     return [REGISTRY[n] for n in ordered]

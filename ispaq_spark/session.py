@@ -38,6 +38,10 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus else 32
 
     conf = {
+        # Local mode runs all executor threads inside the driver JVM; the
+        # default 1g heap makes GC the scaling bottleneck at 32 threads.
+        # (On a real cluster spark-submit owns these.)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         # All time math is civil UTC, like the reference's day loop
         # (ispaq/simple_metrics.py:83-85).
         "spark.sql.session.timeZone": "UTC",
@@ -55,6 +59,7 @@ def get_spark(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
         # Sane scan granularity for wide binary/html columns at scale.
         "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.ui.showConsoleProgress": "false",
     }
     if extra_conf:
         conf.update(extra_conf)
