@@ -46,6 +46,18 @@ BENCH_QUERIES = (
     "jaccard_pairs",
     "cosine_topk",
     "ann_lsh_buckets",
+    "rolling_range",
+    "max_stalta",
+    "spikes_hampel",
+    "snr_window",
+    "geo_radius",
+    "merge_upsert",
+    "cosine_neardup",
+    "ivf_topk",
+    "ols_resid",
+    "piecewise_model",
+    "state_flags",
+    "rollup_periods",
 )
 
 

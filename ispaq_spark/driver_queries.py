@@ -1020,6 +1020,666 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.5 batch window functions (rolling kernels -> SQL window frames)
+# ===========================================================================
+
+
+def _evw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the NTZ->UTC timestamp cast used by every window query."""
+    return t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+_W_ORDER = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@qdef(
+    "rolling_range",
+    f"""
+    WITH d AS (
+      SELECT user_id,
+             max(value) OVER w - min(value) OVER w AS rng
+      FROM events
+      WINDOW w AS ({_W_ORDER} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, round(max(rng), 6) AS max_range
+    FROM d GROUP BY user_id
+    """,
+)
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_range metric (IRISMustangMetrics/R/maxRangeMetric.R:5-31: max of
+    rolling max-min; C++ kernel seismicRoll/src/source_files.cpp:336-420) as
+    a SQL window frame — the 150 s stride of the reference is a compute
+    shortcut, not a semantic; the frame version is exact."""
+    ev = _evw(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    rng = F.max("value").over(w) - F.min("value").over(w)
+    return (
+        ev.withColumn("rng", rng)
+        .groupBy("user_id")
+        .agg(r6(F.max("rng")).alias("max_range"))
+    )
+
+
+@qdef(
+    "max_stalta",
+    f"""
+    WITH d AS (
+      SELECT user_id,
+             avg(value * value) OVER sta AS sta,
+             avg(value * value) OVER lta AS lta
+      FROM events
+      WINDOW sta AS ({_W_ORDER} ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+             lta AS ({_W_ORDER} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, round(max(sta / lta), 6) AS max_stalta
+    FROM d WHERE lta > 0 GROUP BY user_id
+    """,
+)
+def q_max_stalta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_stalta (IRISMustangMetrics/R/STALTAMetric.R:30-93: max over a
+    short-term/long-term rolling mean ratio of the squared signal; kernel
+    source_files.cpp:289-331) as two window-frame averages + a ratio max.
+    The reference's `increment` stride (simple_metrics.py:196-198) is a
+    performance knob only and is dropped for exactness."""
+    ev = _evw(spark, sf_dir)
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v2 = F.col("value") * F.col("value")
+    sta = F.avg(v2).over(base.rowsBetween(-1, 0))
+    lta = F.avg(v2).over(base.rowsBetween(-9, 0))
+    return (
+        ev.withColumn("sta", sta)
+        .withColumn("lta", lta)
+        .where(F.col("lta") > 0)
+        .groupBy("user_id")
+        .agg(r6(F.max(F.col("sta") / F.col("lta"))).alias("max_stalta"))
+    )
+
+
+@qdef(
+    "spikes_hampel",
+    f"""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN abs(value - median(value) OVER
+                    ({_W_ORDER} ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+                  > 100 THEN 1 ELSE 0 END AS is_out
+      FROM events
+    ), runs AS (
+      SELECT user_id, is_out,
+             lag(is_out, 1, 0) OVER ({_W_ORDER}) AS prev_out
+      FROM d
+    )
+    SELECT user_id,
+           sum(is_out) AS n_outliers,
+           sum(CASE WHEN is_out = 1 AND prev_out = 0 THEN 1 ELSE 0 END)
+             AS num_spikes
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_spikes_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """num_spikes (IRISMustangMetrics/R/spikesMetric.R:30-62: rolling-median
+    outliers, counting runs of adjacent outliers once — `count(diff(idx)>1)+1`;
+    hampel kernel seismicRoll/R/findOutliers.R:48-89) as a rolling exact
+    median window frame + a lag() run-start counter."""
+    ev = _evw(spark, sf_dir)
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    med = F.percentile("value", F.lit(0.5)).over(base.rowsBetween(-2, 2))
+    is_out = F.when(F.abs(F.col("value") - med) > 100, 1).otherwise(0)
+    d = ev.withColumn("is_out", is_out)
+    d = d.withColumn("prev_out", F.lag("is_out", 1, 0).over(base))
+    return d.groupBy("user_id").agg(
+        F.sum("is_out").alias("n_outliers"),
+        F.sum(
+            F.when((F.col("is_out") == 1) & (F.col("prev_out") == 0), 1)
+            .otherwise(0)
+        ).alias("num_spikes"),
+    )
+
+
+@qdef(
+    "argmax_peak",
+    """
+    SELECT user_id,
+           arg_max(event_id, value) AS peak_event,
+           round(max(value), 6) AS peak_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_argmax_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax — 'time of max STALTA' (STALTAMetric.R:78-79), peak-lag
+    (crossCorrelationMetric.R:152-153) — as the built-in max_by aggregate
+    (no self-join, no window). Max values are unique per key in the fixture,
+    so the tie-free result is deterministic."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", "value").alias("peak_event"),
+        r6(F.max("value")).alias("peak_value"),
+    )
+
+
+# ===========================================================================
+# §2.4 regression / model-table aggregations
+# ===========================================================================
+
+
+@qdef(
+    "ols_resid",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(sqrt(var_pop(l_extendedprice)
+                      * (1 - pow(corr(l_extendedprice, l_quantity), 2))), 6)
+             AS resid_std
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_ols_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dead_channel_lin (IRISMustangMetrics/R/PSDMetric.R:186-190: stddev of
+    OLS-fit residuals) in closed form — single-pass algebraic aggregates,
+    residual variance = var(y)·(1-corr²), no second pass over the data."""
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.regr_slope(y, x)).alias("slope"),
+        r6(F.regr_intercept(y, x)).alias("intercept"),
+        r6(
+            F.sqrt(F.var_pop(y) * (1 - F.pow(F.corr(y, x), F.lit(2))))
+        ).alias("resid_std"),
+    )
+
+
+_MODEL_ROWS = [(0, 6, 40.0), (6, 12, 55.0), (12, 18, 60.0), (18, 24, 45.0)]
+_MODEL_SQL = ", ".join(f"({lo}, {hi}, {lv})" for lo, hi, lv in _MODEL_ROWS)
+
+
+@qdef(
+    "piecewise_model",
+    f"""
+    WITH model(lo, hi, level) AS (VALUES {_MODEL_SQL})
+    SELECT e.event_type,
+           round(100.0 * avg(CASE WHEN e.value > m.level THEN 1.0 ELSE 0.0 END), 6)
+             AS pct_above_model
+    FROM events e
+    JOIN model m ON extract(hour FROM e.ts) >= m.lo
+                AND extract(hour FROM e.ts) < m.hi
+    GROUP BY e.event_type
+    """,
+)
+def q_piecewise_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSD ⋈ NLNM/NHNM noise-model comparison (IRISSeismic/R/
+    spectralUtils.R:801-820; pct_above_nhnm psdStatistics :766-854): a
+    broadcast range-join against a piecewise-constant literal table + a
+    conditional average. The model table is a module constant shared
+    verbatim with the oracle."""
+    ev = _evw(spark, sf_dir)
+    model = F.broadcast(
+        spark.createDataFrame(_MODEL_ROWS, "lo INT, hi INT, level DOUBLE")
+    )
+    h = F.hour("ts")
+    return (
+        ev.join(model, (h >= F.col("lo")) & (h < F.col("hi")))
+        .groupBy("event_type")
+        .agg(
+            r6(
+                100.0
+                * F.avg(F.when(F.col("value") > F.col("level"), 1.0).otherwise(0.0))
+            ).alias("pct_above_model")
+        )
+    )
+
+
+@qdef(
+    "state_flags",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_state_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stateOfHealth flag-counter pass-through + timing-quality mean
+    (IRISMustangMetrics/R/stateOfHealthMetric.R:25-105: 15 flag counts +
+    avg) as a pivot over a fixed category list + avg — one hash aggregate,
+    no shuffle per flag."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    for ty in types:
+        counts = counts.withColumnRenamed(ty, f"n_{ty}").withColumn(
+            f"n_{ty}", F.coalesce(F.col(f"n_{ty}"), F.lit(0))
+        )
+    avgv = ev.groupBy("user_id").agg(r6(F.avg("value")).alias("avg_value"))
+    return counts.join(avgv, "user_id")
+
+
+@qdef(
+    "rollup_periods",
+    """
+    SELECT coalesce(strftime(date_trunc('month', l_shipdate), '%Y-%m'), 'ALL')
+             AS period,
+           count(*) AS n,
+           round(sum(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(date_trunc('month', l_shipdate))
+    """,
+)
+def q_rollup_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """daily + aggregated PDF intervals (ispaq/PSD_metrics.py:337-365 runs
+    the same aggregation at two granularities) as one ROLLUP pass —
+    grouping sets ((month), ()) computed in a single shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    month = F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM")
+    return (
+        li.withColumn("period_m", month)
+        .rollup("period_m")
+        .agg(F.count(F.lit(1)).alias("n"), r6(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce("period_m", F.lit("ALL")).alias("period"), "n", "sum_qty"
+        )
+    )
+
+
+# ===========================================================================
+# §2.2 predicate surfaces: glob subset, epoch overlap
+# ===========================================================================
+
+
+def glob_to_regex(glob: str) -> str:
+    """SNCL glob -> regex (ispaq/concierge.py:888-894: `*`->`.*`, `?`->`.`,
+    anchored)."""
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in ".^$+{}[]()|\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + "$"
+
+
+_GLOBS = ("P*O", "?CONOMY")
+_GLOB_RE = "|".join(f"({glob_to_regex(g)})" for g in _GLOBS)
+
+
+@qdef(
+    "glob_subset",
+    f"""
+    SELECT p_type, p_brand, count(*) AS n
+    FROM part
+    WHERE regexp_matches(p_type, '{_GLOB_RE}')
+    GROUP BY p_type, p_brand
+    """,
+)
+def q_glob_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNCL glob -> regex target subsetting (ispaq/concierge.py:888-894) —
+    the translated pattern is a module constant shared with the oracle, and
+    the rlike predicate is pushed into the scan by Catalyst."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_type").rlike(_GLOB_RE))
+        .groupBy("p_type", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@qdef(
+    "epoch_overlap",
+    """
+    SELECT o_orderpriority, count(*) AS n_overlapping
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-03-01'
+      AND o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_epoch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time-range epoch filter (ispaq/concierge.py:771-777: keep rows iff
+    starttime < end AND endtime > start — there a mutating iterrows loop,
+    here one sargable predicate)."""
+    o = t(spark, sf_dir, "orders")
+    start = F.col("o_orderdate")
+    end = start + F.expr("INTERVAL 30 DAYS")
+    return (
+        o.where(
+            (start < F.lit("1996-03-01").cast("timestamp"))
+            & (end > F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_overlapping"))
+    )
+
+
+# ===========================================================================
+# §2.3 remaining join shapes: geo-radius theta join, SNR event windows,
+# idempotent upsert merge
+# ===========================================================================
+
+
+@qdef(
+    "geo_radius",
+    """
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+             (s_suppkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+      FROM supplier
+    ), c AS (
+      SELECT c_custkey,
+             (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+             (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+      FROM customer
+    )
+    SELECT s.s_suppkey, count(*) AS n_within
+    FROM s JOIN c
+      ON degrees(acos(least(1.0, greatest(-1.0,
+           sin(radians(s.lat)) * sin(radians(c.lat))
+           + cos(radians(s.lat)) * cos(radians(c.lat))
+             * cos(radians(s.lon - c.lon)))))) <= 20.0
+    GROUP BY s.s_suppkey
+    """,
+)
+def q_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ availability geo-radius theta join (ispaq/concierge.py:
+    954-980: stations within [minradius,maxradius] degrees of the epicenter;
+    callers SNR_metrics.py:106-108). Both sides are dimension-sized, so the
+    broadcast nested-loop join with a great-circle predicate is the right
+    plan; coordinates are derived deterministically from the keys."""
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919 % 18000) / 100.0 - 90.0).alias("slat"),
+        ((F.col("s_suppkey") * 104729 % 36000) / 100.0 - 180.0).alias("slon"),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("clat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("clon"),
+    )
+    central = F.degrees(
+        F.acos(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(-1.0),
+                    F.sin(F.radians("slat")) * F.sin(F.radians("clat"))
+                    + F.cos(F.radians("slat"))
+                    * F.cos(F.radians("clat"))
+                    * F.cos(F.radians(F.col("slon") - F.col("clon"))),
+                ),
+            )
+        )
+    )
+    return (
+        F.broadcast(sup)
+        .join(cust, central <= 20.0)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_within"))
+    )
+
+
+@qdef(
+    "snr_window",
+    """
+    SELECT e1.event_id,
+           round(stddev_pop(CASE WHEN e2.ts > e1.ts THEN e2.value END)
+                 / stddev_pop(CASE WHEN e2.ts < e1.ts THEN e2.value END), 6)
+             AS snr
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts >= e1.ts - INTERVAL 3 DAY
+     AND e2.ts <= e1.ts + INTERVAL 3 DAY
+     AND e2.event_id <> e1.event_id
+    WHERE e1.event_type = 'error'
+    GROUP BY e1.event_id
+    HAVING count(CASE WHEN e2.ts < e1.ts THEN 1 END) >= 2
+       AND count(CASE WHEN e2.ts > e1.ts THEN 1 END) >= 2
+       AND stddev_pop(CASE WHEN e2.ts < e1.ts THEN e2.value END) > 0
+    """,
+)
+def q_snr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_snr (IRISMustangMetrics/R/SNRMetric.R:28-91: rmsVariance of the
+    signal half over rmsVariance of the noise half of an event-centered
+    window; window placement SNR_metrics.py:156-209) as an interval self-join
+    + two conditional population-stddev aggregates."""
+    ev = _evw(spark, sf_dir)
+    e1 = ev.where(F.col("event_type") == "error").alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") >= F.col("e1.ts") - F.expr("INTERVAL 3 DAYS"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 3 DAYS"))
+        & (F.col("e2.event_id") != F.col("e1.event_id"))
+    )
+    post = F.when(F.col("e2.ts") > F.col("e1.ts"), F.col("e2.value"))
+    pre = F.when(F.col("e2.ts") < F.col("e1.ts"), F.col("e2.value"))
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.event_id").alias("event_id"))
+        .agg(
+            r6(F.stddev_pop(post) / F.stddev_pop(pre)).alias("snr"),
+            F.count(pre).alias("_npre"),
+            F.count(post).alias("_npost"),
+            F.stddev_pop(pre).alias("_sdpre"),
+        )
+        .where(
+            (F.col("_npre") >= 2) & (F.col("_npost") >= 2) & (F.col("_sdpre") > 0)
+        )
+        .select("event_id", "snr")
+    )
+
+
+@qdef(
+    "merge_upsert",
+    """
+    WITH run1 AS (
+      SELECT o_orderpriority, CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+             count(*) AS n, round(sum(o_totalprice), 6) AS total
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1, 2
+    ), run2 AS (
+      SELECT o_orderpriority, CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+             count(*) AS n, round(sum(o_totalprice), 6) AS total
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT coalesce(r2.o_orderpriority, r1.o_orderpriority) AS o_orderpriority,
+           coalesce(r2.yr, r1.yr) AS yr,
+           coalesce(r2.n, r1.n) AS n,
+           coalesce(r2.total, r1.total) AS total
+    FROM run1 r1 FULL OUTER JOIN run2 r2
+      ON r1.o_orderpriority = r2.o_orderpriority AND r1.yr = r2.yr
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idempotent-rerun upsert (ispaq/utils.py:157-272: SQLite
+    `INSERT ... ON CONFLICT(target,start,end) DO UPDATE`) as a keyed MERGE:
+    full-outer join of the existing and new runs with new-wins coalesce —
+    the relational core of Iceberg MERGE INTO. Overlapping 1997-1998 keys
+    are recomputed identically, so the rerun is a no-op on them."""
+    o = t(spark, sf_dir, "orders")
+
+    def agg_run(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.sum("o_totalprice")).alias("total"),
+        )
+
+    r1 = agg_run(o.where(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))).alias("r1")
+    r2 = agg_run(o.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))).alias("r2")
+    return r1.join(
+        r2,
+        (F.col("r1.o_orderpriority") == F.col("r2.o_orderpriority"))
+        & (F.col("r1.yr") == F.col("r2.yr")),
+        "full_outer",
+    ).select(
+        F.coalesce("r2.o_orderpriority", "r1.o_orderpriority").alias(
+            "o_orderpriority"
+        ),
+        F.coalesce("r2.yr", "r1.yr").alias("yr"),
+        F.coalesce("r2.n", "r1.n").alias("n"),
+        F.coalesce("r2.total", "r1.total").alias("total"),
+    )
+
+
+# ===========================================================================
+# Similarity search, continued: embedding near-dup + IVF-style ANN
+# ===========================================================================
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))))"
+)
+
+
+def _cos_cols(lhs: str, rhs: str) -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(lhs, rhs, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nl = F.sqrt(
+        F.aggregate(
+            F.zip_with(lhs, lhs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nr = F.sqrt(
+        F.aggregate(
+            F.zip_with(rhs, rhs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (nl * nr)
+
+
+@qdef(
+    "cosine_neardup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.30
+    """,
+)
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-duplicate pairs: label-blocked self-join (the
+    LSH-bucket analog, bounding the pair space) + in-row zip_with/aggregate
+    cosine, thresholded pre-rounding identically in both engines."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = _cos_cols("a.v", "b.v")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.30)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            r6(cos).alias("cos"),
+        )
+    )
+
+
+@qdef(
+    "ivf_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cent AS (
+      SELECT label, i, avg(v[i]) AS c
+      FROM e CROSS JOIN range(1, 65) t(i) GROUP BY label, i
+    ), qpos AS (
+      SELECT i, qv[i] AS qx FROM q CROSS JOIN range(1, 65) t(i)
+    ), lc AS (
+      SELECT label,
+             sum(c * qx) / (sqrt(sum(c * c)) * sqrt(sum(qx * qx))) AS ccos
+      FROM cent JOIN qpos USING (i) GROUP BY label
+    ), top AS (
+      SELECT label FROM lc ORDER BY ccos DESC, label ASC LIMIT 2
+    ), s AS (
+      SELECT a.vec_id,
+             round(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))),
+               6) AS cos
+      FROM e a JOIN top USING (label) CROSS JOIN q
+      WHERE a.vec_id <> 0
+    )
+    SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroids (computed
+    relationally via posexplode + hash agg), probe the 2 closest centroids,
+    brute-force only inside those lists. At 10^12 scale the centroid table
+    is broadcast and the fact side is pruned to the probed buckets before
+    any distance math."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where("vec_id = 0").select(F.col("v").alias("qv"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    qpos = q.select(F.posexplode("qv").alias("i", "qx"))
+    lc = (
+        cent.join(F.broadcast(qpos), "i")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("qx"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                )
+            ).alias("ccos")
+        )
+    )
+    top = lc.orderBy(F.col("ccos").desc(), F.col("label").asc()).limit(2)
+    a = e.alias("a")
+    cos = _cos_cols("a.v", "qv")
+    return (
+        a.join(F.broadcast(top.select("label")), "label")
+        .where("vec_id <> 0")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", r6(cos).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
 
