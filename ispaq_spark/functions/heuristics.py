@@ -30,6 +30,7 @@ from ..contract import (
 )
 
 TOKENS = "_tokens"  # internal working columns, dropped by the pipeline
+TOK_H = "_tok_h"
 GRAMS = "_grams"
 
 # Every char NOT in this set counts as a symbol — the complement of
@@ -51,16 +52,36 @@ def stopword_hits(tokens: Column, lang: str) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
 
 
-def fivegram_col(tokens: Column, n: Column) -> Column:
+def stopword_hits_hashed(tok_h: Column, lang: str) -> Column:
+    """Same count over the xxhash64'd token array: the stopword set becomes
+    a constant-folded literal array of longs (xxhash64(lit) is foldable),
+    so per-token membership is ≤|SW| long compares instead of string
+    compares — ~5x cheaper across the 5-language cascade. Collision risk
+    per corpus ~ |tokens|·|SW|/2^64 (the same accepted tradeoff as the
+    hashed 5-gram shingles)."""
+    sw = F.array(*[F.xxhash64(F.lit(w)) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok_h, lambda h: F.array_contains(sw, h)))
+
+
+def token_hash_col(tokens: Column) -> Column:
+    """Per-token xxhash64 array. MUST be materialized as a real column
+    before feeding fivegram_col: higher-order functions are interpreted
+    (never codegen'd) and never CSE'd, so an inline transform() closed over
+    by the shingle lambda would re-hash EVERY token for EVERY shingle
+    position — O(n²) per document (observed as XXH64 dominating jstack at
+    300k docs)."""
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+def fivegram_col(tok_h: Column, n: Column) -> Column:
     """5-gram shingle *hash* array — allocation-light distinct counting.
 
     Building the n shingle STRINGS per document (~30 UTF-16 chars each)
-    made GC the scaling bottleneck at 32 threads; instead each token is
-    xxhash64'd once and 5 consecutive hashes combine with rotate-xor (pure
-    long ops, ANSI-overflow-safe). Collision probability per doc is
-    ~n²/2^64 — the exact-string reference parity tests stay exact in
-    practice. Materialized once: HOFs are not CSE'd."""
-    tok_h = F.transform(tokens, lambda t: F.xxhash64(t))
+    made GC the scaling bottleneck at 32 threads; instead each token hash
+    (precomputed once in `tok_h`, see token_hash_col) combines with 4
+    successors via rotate-xor (pure long ops, ANSI-overflow-safe).
+    Collision probability per doc is ~n²/2^64 — the exact-string reference
+    parity tests stay exact in practice."""
     return F.when(
         n >= 5,
         F.transform(
@@ -109,6 +130,10 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = df.withColumn(TOKENS, F.when(text.isNotNull(), tokens_col(text)))
     toks = F.col(TOKENS)
     n = F.size(toks)
+    # One hash pass over the tokens feeds BOTH langid and the 5-gram
+    # shingles; materialized as a column so no HOF recomputes it (see
+    # token_hash_col).
+    df = df.withColumn(TOK_H, token_hash_col(toks))
 
     df = df.withColumn("word_count", F.when(text.isNotNull(), n.cast("long")))
     df = df.withColumn(
@@ -122,7 +147,7 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
     # language code ascending (LANGS is sorted), 'und' on zero hits.
     hit_cols = {lang: f"_sw_{lang}" for lang in LANGS}
     for lang, c in hit_cols.items():
-        df = df.withColumn(c, stopword_hits(toks, lang))
+        df = df.withColumn(c, stopword_hits_hashed(F.col(TOK_H), lang))
     best = F.greatest(*[F.col(c) for c in hit_cols.values()])
     pred = F.lit(UNKNOWN_LANG)
     cascade = F.when(best <= 0, F.lit(UNKNOWN_LANG))
@@ -142,7 +167,7 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
     df = df.withColumn("symbol_word_ratio", symbol_count(text) / n)
-    df = df.withColumn(GRAMS, fivegram_col(toks, n))
+    df = df.withColumn(GRAMS, fivegram_col(F.col(TOK_H), n))
     df = df.withColumn(
         "dup_5gram_frac",
         F.when(text.isNull(), F.lit(None).cast("double"))
@@ -155,7 +180,7 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     df = df.withColumn("num_pii", F.when(text.isNotNull(), pii_count(text)))
     df = df.withColumn("num_tox", F.when(text.isNotNull(), tox_count(text)))
-    return df.drop(TOKENS, GRAMS)
+    return df.drop(TOKENS, TOK_H, GRAMS)
 
 
 def keep_expr() -> Column:
