@@ -58,6 +58,7 @@ BENCH_QUERIES = (
     "piecewise_model",
     "state_flags",
     "rollup_periods",
+    "cogroup_xcorr",
 )
 
 

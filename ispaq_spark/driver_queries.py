@@ -579,7 +579,11 @@ def q_dup_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle construction = seismicRoll-style strided windows, SURVEY.md §2.5)
     entirely with transform/sequence/slice — arrays never leave the JVM."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Materialize tokens as a real column BEFORE the shingle HOF: an inline
+    # split() closed over by the lambda is re-evaluated per shingle position
+    # (HOFs are interpreted, never CSE'd) — O(n²) per document.
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
     n = F.size(toks)
     grams = F.when(
         n >= 3,
@@ -795,7 +799,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     min), k=4 permutations — the signature stage of MinHash-LSH near-dup
     detection. Pure Catalyst: transform/slice/array_min, no Python."""
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Materialized tokens column — see q_dup_3gram: inline split inside the
+    # shingle lambda is O(n²) under interpreted HOF evaluation.
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - F.lit(2)),
@@ -1676,6 +1683,86 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", r6(cos).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+# ===========================================================================
+# §2.9 cogrouped two-stream UDF (apply_correlation_metric surface)
+# ===========================================================================
+
+
+@qdef(
+    "cogroup_xcorr",
+    """
+    WITH e AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS ev
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    ), c AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS cv
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), j AS (
+      SELECT e.user_id, ev, cv, len(ev) AS le, len(cv) AS lc
+      FROM e JOIN c USING (user_id)
+    ), lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+    sl AS (
+      SELECT user_id, lag, ev, cv,
+             greatest(1, 1 - lag) AS lox,
+             least(le, lc - lag) AS hix
+      FROM j CROSS JOIN lags
+    ), p AS (
+      SELECT user_id, lag,
+             CAST(hix - lox + 1 AS INT) AS n,
+             ev[lox:hix] AS x,
+             cv[lox + lag:hix + lag] AS y
+      FROM sl WHERE hix - lox + 1 >= 4
+    ), s AS (
+      SELECT user_id, lag, n,
+             list_sum(x) AS sx, list_sum(y) AS sy,
+             list_sum(list_transform(x, v -> v * v)) AS sxx,
+             list_sum(list_transform(y, v -> v * v)) AS syy,
+             list_sum(list_transform(range(1, n + 1), i -> x[i] * y[i])) AS sxy
+      FROM p
+    ), r AS (
+      SELECT user_id, lag, n,
+             (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+      FROM s
+      WHERE sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+    ), b AS (
+      SELECT user_id, lag, corr, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY corr DESC, lag ASC) AS rn
+      FROM r
+    )
+    SELECT user_id, CAST(lag AS INT) AS best_lag,
+           round(corr, 6) AS peak_corr, n AS n_pairs
+    FROM b WHERE rn = 1
+    """,
+)
+def q_cogroup_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polarity_check two-stream peak cross-correlation
+    (IRISMustangMetrics/R/crossCorrelationMetric.R:46-161, dispatched via
+    apply_correlation_metric ispaq/irismustangmetrics.py:160-187) as a
+    cogrouped applyInPandas: one Arrow batch per user carries both series;
+    Pearson r over index lags -2..2, one-pass sum formula shared with the
+    oracle (operators/crosscorr.py)."""
+    from .operators.crosscorr import cogroup_xcorr as _xc
+
+    # Two INDEPENDENT scans, not one filtered twice: a self-cogroup from a
+    # shared scan makes both sides carry the same expression IDs, and
+    # Spark's attribute dedup then prunes the right frame down to the key
+    # column (observed: right pandas frame = ['user_id'] only).
+    def side(evt: str) -> DataFrame:
+        return (
+            t(spark, sf_dir, "events")
+            .select("user_id", "ts", "event_id", "value", "event_type")
+            .where(F.col("event_type") == evt)
+            .drop("event_type")
+        )
+
+    out = _xc(side("error"), side("click"))
+    return out.select(
+        "user_id", "best_lag", r6(F.col("peak_corr")).alias("peak_corr"), "n_pairs"
     )
 
 

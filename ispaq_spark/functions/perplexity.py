@@ -28,10 +28,14 @@ from ..contract import LM_ORDER, ngram_hash
 from ..reference_impl import TOTAL_UNIGRAMS_KEY, perplexity as _ref_perplexity
 
 
-def kgrams_col(text: Column, order: int = LM_ORDER) -> Column:
+def kgrams_col(toks: Column, order: int = LM_ORDER) -> Column:
     """Array of "k|gram" strings for k=1..order — pure Catalyst (transform/
-    sequence/slice), so training counts never leave the JVM."""
-    toks = F.split(text, " ")
+    sequence/slice), so training counts never leave the JVM.
+
+    `toks` MUST be a materialized token-array column (not an inline
+    split()): the slice lambda closes over it, and interpreted HOFs
+    re-evaluate closed-over expressions per element — an inline split would
+    be O(n²) per row."""
     n = F.size(toks)
     def kpart(k: int):
         # single-arg lambda only: a two-arg lambda would become
@@ -64,7 +68,8 @@ def train_lm_distributed(
     at any corpus scale — the counts reduce *before* the driver sees them.
     """
     counts = (
-        corpus.select(F.explode(kgrams_col(F.col(text_col), order)).alias("g"))
+        corpus.withColumn("_toks", F.split(F.col(text_col), " "))
+        .select(F.explode(kgrams_col(F.col("_toks"), order)).alias("g"))
         .groupBy("g")
         .count()
         .collect()

@@ -1,0 +1,91 @@
+"""Two-stream cogrouped correlation — the reference's dual-Stream UDF
+surface as `cogroup().applyInPandas`.
+
+Graft slot: `apply_correlation_metric` (ispaq/irismustangmetrics.py:160-187)
+drives R `crossCorrelationMetric` (IRISMustangMetrics/R/
+crossCorrelationMetric.R:46-161): two aligned series -> peak signed
+cross-correlation within a lag window + the lag at the peak. Here the two
+"streams" are two event-type series per user; each cogroup batch carries
+ONE key's two series as Arrow frames — the idiomatic Spark shape for
+pairwise-signal business logic (no driver loop over pairs, no collect).
+
+Numeric contract: Pearson r is computed with the one-pass sum formula
+r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+so a SQL oracle using the same sums agrees to float rounding.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MAX_LAG = 2
+MIN_OVERLAP = 4
+
+RESULT_SCHEMA = "user_id bigint, best_lag int, peak_corr double, n_pairs int"
+
+
+def _pearson(x, y) -> float | None:
+    n = len(x)
+    sx = float(sum(x)); sy = float(sum(y))
+    sxx = float(sum(v * v for v in x)); syy = float(sum(v * v for v in y))
+    sxy = float(sum(a * b for a, b in zip(x, y)))
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    if den <= 0:
+        return None
+    return (n * sxy - sx * sy) / den
+
+
+def lagged_peak(e: list, c: list) -> tuple[int, float, int] | None:
+    """(best_lag, peak_corr, n_pairs): max Pearson r over lag in
+    [-MAX_LAG, MAX_LAG] pairing e[i] with c[i+lag]; ties -> smaller lag.
+    The ±10 s ccf window of crossCorrelationMetric.R:139-153, index-lagged."""
+    best = None
+    for lag in range(-MAX_LAG, MAX_LAG + 1):
+        pairs = [
+            (e[i], c[i + lag])
+            for i in range(len(e))
+            if 0 <= i + lag < len(c)
+        ]
+        if len(pairs) < MIN_OVERLAP:
+            continue
+        r = _pearson([p[0] for p in pairs], [p[1] for p in pairs])
+        if r is None:
+            continue
+        if best is None or r > best[1]:
+            best = (lag, r, len(pairs))
+    return best
+
+
+def cogroup_xcorr(
+    left: DataFrame, right: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """left/right: (key, ts, event_id, value) streams. One Arrow batch per
+    key via cogroup; series ordered by (ts, event_id) inside the batch."""
+
+    def compute(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame(
+                columns=["user_id", "best_lag", "peak_corr", "n_pairs"]
+            )
+        uid = int(l[key].iloc[0] if not l.empty else r[key].iloc[0])
+        e = list(l.sort_values(["ts", "event_id"])["value"])
+        c = list(r.sort_values(["ts", "event_id"])["value"])
+        best = lagged_peak(e, c)
+        if best is None:
+            return pd.DataFrame(
+                columns=["user_id", "best_lag", "peak_corr", "n_pairs"]
+            )
+        lag, corr, n = best
+        return pd.DataFrame(
+            [{"user_id": uid, "best_lag": lag, "peak_corr": corr, "n_pairs": n}]
+        )
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(compute, schema=RESULT_SCHEMA)
+    )
