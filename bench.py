@@ -59,6 +59,7 @@ BENCH_QUERIES = (
     "state_flags",
     "rollup_periods",
     "cogroup_xcorr",
+    "minhash_lsh_neardup",
 )
 
 

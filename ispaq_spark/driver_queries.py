@@ -1594,12 +1594,27 @@ def _cos_cols(lhs: str, rhs: str) -> F.Column:
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-duplicate pairs: label-blocked self-join (the
     LSH-bucket analog, bounding the pair space) + in-row zip_with/aggregate
-    cosine, thresholded pre-rounding identically in both engines."""
+    cosine, thresholded pre-rounding identically in both engines. The norm
+    sqrt is precomputed per VECTOR (O(n)) rather than per PAIR (O(n²/label))
+    — same IEEE value, the HOF per pair is just the dot product."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    e = e.withColumn("nrm", nrm)
     a, b = e.alias("a"), e.alias("b")
-    cos = _cos_cols("a.v", "b.v")
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -1683,6 +1698,119 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", r6(cos).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+def _grams3_cols(d: DataFrame) -> DataFrame:
+    """doc_id + materialized 3-gram shingle array + distinct-set column."""
+    d = d.withColumn("toks", F.split(F.col("text"), " "))
+    toks = F.col("toks")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    return (
+        d.where(n >= 3)
+        .withColumn("grams", grams)
+        .withColumn("gset", F.array_distinct("grams"))
+    )
+
+
+_LSH_SQL_BANDS = """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [array_to_string(words[i:i+2], ' ')
+              for i in range(1, len(words) - 1)] AS grams
+      FROM w WHERE len(words) >= 3
+    ), sig AS (
+      SELECT doc_id, list_distinct(grams) AS gset,
+             {mh_cols}
+      FROM g
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.gset AS ga, b.gset AS gb
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_filter(ga, x -> list_contains(gb, x)))
+                 / (len(ga) + len(gb)
+                    - len(list_filter(ga, x -> list_contains(gb, x)))),
+                 6) AS jaccard
+    FROM cand
+    WHERE len(list_filter(ga, x -> list_contains(gb, x)))
+          / (len(ga) + len(gb)
+             - len(list_filter(ga, x -> list_contains(gb, x)))) >= 0.5
+"""
+
+
+@qdef("minhash_lsh_neardup", _LSH_SQL_BANDS.format(mh_cols=_minhash_sql_cols()))
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle -> 4 minhashes ->
+    2 bands of 2 rows -> band-bucket equi-join for candidates -> exact
+    Jaccard verify >= 0.5. The Spark side explodes (band_id, h1, h2) keys
+    and equi-joins them — the shape that scales (the shuffle carries band
+    keys, never documents); the oracle states the same candidate set as an
+    OR-join. Verification re-touches text only for the candidate pairs."""
+    d = _grams3_cols(t(spark, sf_dir, "documents"))
+
+    def mh(j: int):
+        prefix = f"{j}|"
+        return F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda s: _hex_hash_spark(F.concat(F.lit(prefix), s)),
+            )
+        ).alias(f"mh{j}")
+
+    sig = d.select("doc_id", "gset", *[mh(j) for j in range(_N_MINHASH)])
+    # Band keys only ride the candidate shuffle; the gram sets re-join by
+    # doc_id for the (tiny) verified candidate set.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.col("mh0").alias("h1"),
+                    F.col("mh1").alias("h2"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.col("mh2").alias("h1"),
+                    F.col("mh3").alias("h2"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.h1", "band.h2")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # pair may agree on both bands
+    )
+    ga = sig.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("ga"))
+    gb = sig.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gb"))
+    cand = cand.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter / union
+    return cand.where(jac >= 0.5).select(
+        "doc_a", "doc_b", r6(jac).alias("jaccard")
     )
 
 
