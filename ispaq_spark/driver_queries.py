@@ -1814,6 +1814,42 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "sncl_reorder",
+    """
+    WITH ids AS (
+      SELECT doc_id,
+             source || '.' || lang || '.' || CAST(doc_id % 10 AS VARCHAR)
+               AS sncl
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, sncl, str_split(sncl, '.') AS p FROM ids
+    )
+    SELECT doc_id, sncl,
+           array_to_string([p[3], p[2], p[1]], '.') AS reordered
+    FROM parts
+    """,
+)
+def q_sncl_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sncl_format element reordering (ispaq/concierge.py:125-128,419-427:
+    the N.S.L.C element order is configurable; parse by separator, emit in
+    the requested order) as split + element_at + concat_ws — pure string
+    expressions over a composite id built the same way in both engines."""
+    d = t(spark, sf_dir, "documents")
+    sncl = F.concat_ws(
+        ".", F.col("source"), F.col("lang"), (F.col("doc_id") % 10).cast("string")
+    )
+    d = d.withColumn("sncl", sncl)
+    p = F.split(F.col("sncl"), "\\.")
+    return d.select(
+        "doc_id",
+        "sncl",
+        F.concat_ws(
+            ".", F.element_at(p, 3), F.element_at(p, 2), F.element_at(p, 1)
+        ).alias("reordered"),
+    )
+
+
 # ===========================================================================
 # §2.9 cogrouped two-stream UDF (apply_correlation_metric surface)
 # ===========================================================================
