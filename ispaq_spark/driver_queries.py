@@ -846,28 +846,34 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit) near-dup fingerprint: per distinct token a content
     hash votes +1/-1 on each bit; the sign vector packs into an int.
-    Expressed relationally (explode -> conditional agg -> bit pack)."""
+
+    Computed IN-ROW (materialized token-hash array + 16 filter counts):
+    the document never leaves its partition and there is NO shuffle — at
+    10^12 documents this is a map-only stage, where the relational
+    explode -> (doc, bit) -> conditional-agg formulation (which the oracle
+    still uses) would shuffle 16x the distinct-token count."""
     d = t(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    d = d.withColumn(
+        "hw",
+        F.transform(
+            F.array_distinct(F.split("text", " ")),
+            lambda w: _hex_hash_spark(w),
+        ),
     )
-    h = tok.withColumn("hw", _hex_hash_spark(F.col("w")))
-    bits = spark.range(0, 16).select(F.col("id").cast("int").alias("b"))
-    votes = (
-        h.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(hw >> b) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
+    n = F.size("hw")
+    simhash = F.lit(0).cast("bigint")
+    for b in range(16):
+        ones = F.size(
+            F.filter(
+                F.col("hw"),
+                lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
         )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
-        ).alias("simhash")
-    )
+        # votes = ones - (n - ones) > 0  <=>  2*ones > n
+        simhash = simhash + F.when(
+            (ones * 2) > n, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return d.select("doc_id", simhash.alias("simhash"))
 
 
 @qdef(
@@ -1430,9 +1436,14 @@ def q_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # |Δlat| <= radius is a necessary condition for central angle <= radius:
+    # the cheap comparison short-circuits the trig for ~2/3 of pairs. (With
+    # fact-sized sides this would instead become a banded equi-join on
+    # floor(lat/radius) ±1 so the pairs never materialize.)
+    cond = (F.abs(F.col("slat") - F.col("clat")) <= 20.0) & (central <= 20.0)
     return (
         F.broadcast(sup)
-        .join(cust, central <= 20.0)
+        .join(cust, cond)
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_within"))
     )
