@@ -59,6 +59,7 @@ BENCH_QUERIES = (
     "state_flags",
     "rollup_periods",
     "cogroup_xcorr",
+    "xcorr_collected",
     "minhash_lsh_neardup",
 )
 
@@ -89,12 +90,18 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- end-to-end quality pipeline (the engine's headline job) ---------
-    n_docs = max(500, int(200_000 * sf))
+    # Sized so fixed per-job overhead (task scheduling, python worker
+    # spin-up) doesn't dominate the docs/sec figure: steady-state at sf0.1
+    # is ~17k docs/s on 32 cores, so 60k docs ≈ 4s of real work.
+    n_docs = max(500, int(600_000 * sf))
     model = default_model()
     pages = pages_df(spark, n_docs, partitions=CPUS * 4).cache()
     pages.count()  # materialize outside the timed window
-    # warm-up: python-worker spin-up + codegen JIT excluded from steady-state
-    force(run_pipeline(spark, pages.limit(1024), model=model))
+    # warm-up: one FULL untimed pass. A limit() warm-up collapses to a
+    # handful of tasks, so the first full-width run still pays every python
+    # worker's broadcast-model unpickle + JVM heap growth + codegen at once
+    # (measured: 39s first full pass vs 5-7s steady-state at 60k docs).
+    force(run_pipeline(spark, pages, model=model))
     t0 = time.time()
     out = run_pipeline(spark, pages, model=model)
     force(out)

@@ -1866,9 +1866,7 @@ def q_sncl_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@qdef(
-    "cogroup_xcorr",
-    """
+_XCORR_ORACLE = """
     WITH e AS (
       SELECT user_id, list(value ORDER BY ts, event_id) AS ev
       FROM events WHERE event_type = 'error' GROUP BY user_id
@@ -1912,17 +1910,10 @@ def q_sncl_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(lag AS INT) AS best_lag,
            round(corr, 6) AS peak_corr, n AS n_pairs
     FROM b WHERE rn = 1
-    """,
-)
-def q_cogroup_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """polarity_check two-stream peak cross-correlation
-    (IRISMustangMetrics/R/crossCorrelationMetric.R:46-161, dispatched via
-    apply_correlation_metric ispaq/irismustangmetrics.py:160-187) as a
-    cogrouped applyInPandas: one Arrow batch per user carries both series;
-    Pearson r over index lags -2..2, one-pass sum formula shared with the
-    oracle (operators/crosscorr.py)."""
-    from .operators.crosscorr import cogroup_xcorr as _xc
+    """
 
+
+def _xcorr_sides(spark: SparkSession, sf_dir: str):
     # Two INDEPENDENT scans, not one filtered twice: a self-cogroup from a
     # shared scan makes both sides carry the same expression IDs, and
     # Spark's attribute dedup then prunes the right frame down to the key
@@ -1935,7 +1926,38 @@ def q_cogroup_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("event_type")
         )
 
-    out = _xc(side("error"), side("click"))
+    return side("error"), side("click")
+
+
+@qdef("cogroup_xcorr", _XCORR_ORACLE)
+def q_cogroup_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polarity_check two-stream peak cross-correlation
+    (IRISMustangMetrics/R/crossCorrelationMetric.R:46-161, dispatched via
+    apply_correlation_metric ispaq/irismustangmetrics.py:160-187) as a
+    cogrouped applyInPandas: one Arrow batch per user carries both series;
+    Pearson r over index lags -2..2, one-pass sum formula shared with the
+    oracle (operators/crosscorr.py)."""
+    from .operators.crosscorr import cogroup_xcorr as _xc
+
+    left, right = _xcorr_sides(spark, sf_dir)
+    out = _xc(left, right)
+    return out.select(
+        "user_id", "best_lag", r6(F.col("peak_corr")).alias("peak_corr"), "n_pairs"
+    )
+
+
+@qdef("xcorr_collected", _XCORR_ORACLE)
+def q_xcorr_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two-stream peak cross-correlation, batch-vectorized: JVM-side
+    sort_array(collect_list) per side -> equi-join -> one scalar pandas UDF
+    scoring thousands of keys per Arrow batch (operators/crosscorr.py
+    collected_xcorr). The cogroup form pays ~10 ms of Python dispatch PER
+    KEY; this pays it per batch — the scale path when groups are tiny and
+    numerous. Identical oracle, identical results."""
+    from .operators.crosscorr import collected_xcorr as _xc
+
+    left, right = _xcorr_sides(spark, sf_dir)
+    out = _xc(left, right)
     return out.select(
         "user_id", "best_lag", r6(F.col("peak_corr")).alias("peak_corr"), "n_pairs"
     )
