@@ -53,3 +53,36 @@ def fused_extract_ppl_udf(spark, model: dict[int, float]):
         )
 
     return fused
+
+
+def fused_extract_ppl_scrub_udf(spark, model: dict[int, float]):
+    """html -> (extracted_text, perplexity, scrubbed_text), ONE crossing.
+
+    Scrubbing here instead of the JVM regexp_replace chain removes five
+    java.util.regex passes (Matcher + string copy per rule per row) from
+    the shared-heap hot path — measured as the 32-thread scaling
+    bottleneck (BENCH/BASELINE.md 600k analysis): python workers are
+    separate processes with isolated heaps, so the regex allocation churn
+    stops serializing on the driver JVM's young-gen GC. Same
+    reference_impl.scrub_text chain, so bytes are identical."""
+    from ..reference_impl import perplexity as _ppl, scrub_text as _scrub
+
+    bcast = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf(
+        "extracted_text string, perplexity double, scrubbed_text string"
+    )
+    def fused(html: pd.Series) -> pd.DataFrame:
+        m = bcast.value
+        texts = html.map(extract_text)
+        ppl = texts.map(lambda t: _ppl(t, m) if t is not None else None)
+        scrubbed = texts.map(lambda t: _scrub(t) if t is not None else None)
+        return pd.DataFrame(
+            {
+                "extracted_text": texts,
+                "perplexity": ppl,
+                "scrubbed_text": scrubbed,
+            }
+        )
+
+    return fused

@@ -24,6 +24,7 @@ import re
 from dataclasses import dataclass
 
 from .contract import (
+    COMPILED_PII_COMBINED,
     COMPILED_SCRUB_RULES,
     COMPILED_SYMBOL,
     LANGS,
@@ -154,11 +155,11 @@ def scrub_text(text: str) -> str:
 
 
 def count_pii(text: str) -> int:
-    n = 0
-    for name, pat, _repl in COMPILED_SCRUB_RULES:
-        if name in PII_RULE_NAMES:
-            n += len(pat.findall(text))
-    return n
+    """Single combined-alternation pass (see contract.PII_COMBINED_PATTERN):
+    the Spark column expression uses the identical pattern, so counts match
+    exactly — including the overlap semantics of leftmost-first
+    alternation."""
+    return len(COMPILED_PII_COMBINED.findall(text))
 
 
 def count_tox(text: str) -> int:

@@ -81,6 +81,27 @@ def _decision(df: DataFrame, ctx: PipelineContext) -> DataFrame:
     return df.withColumn("keep", keep_expr())
 
 
+def _extract_ppl_scrub(df: DataFrame, ctx: PipelineContext) -> DataFrame:
+    """Fully-fused Arrow stage: extraction + perplexity + scrub in ONE
+    JVM<->Python crossing (functions/extraction.py
+    fused_extract_ppl_scrub_udf) — the default hot path; keeps the five
+    scrub regex passes off the shared JVM heap."""
+    from .functions.extraction import fused_extract_ppl_scrub_udf
+
+    if ctx.model is None:
+        from .synthesize import default_model
+
+        ctx.model = default_model()
+    udf = fused_extract_ppl_scrub_udf(ctx.spark, ctx.model)
+    df = df.withColumn("_eps", udf(F.col("html")))
+    return (
+        df.withColumn("extracted_text", F.col("_eps.extracted_text"))
+        .withColumn("perplexity", F.col("_eps.perplexity"))
+        .withColumn("scrubbed_text", F.col("_eps.scrubbed_text"))
+        .drop("_eps")
+    )
+
+
 def _extract_ppl(df: DataFrame, ctx: PipelineContext) -> DataFrame:
     """Fused Arrow stage: ONE JVM<->Python crossing computes extraction AND
     perplexity (the modular path ships the extracted text back to the JVM
@@ -127,6 +148,13 @@ REGISTRY: dict[str, MetricSet] = {
             _extract_ppl,
         ),
         MetricSet(
+            "extract_ppl_scrub",
+            "arrow",
+            ("extracted_text", "perplexity", "scrubbed_text"),
+            (),
+            _extract_ppl_scrub,
+        ),
+        MetricSet(
             "heuristics", "sql", _HEUR_COLS, ("extracted_text",), _heuristics
         ),
         MetricSet(
@@ -167,7 +195,8 @@ INPUT_COLS = frozenset({"url", "warc_ts", "html", "text", "lang", "ds"})
 # section analog). `default` uses the fused Arrow stage (one Python
 # crossing); `modular` keeps each stage separate.
 ALIASES: dict[str, tuple[str, ...]] = {
-    "default": ("extract_ppl", "heuristics", "scrub", "decision"),
+    "default": ("extract_ppl_scrub", "heuristics", "decision"),
+    "twoStage": ("extract_ppl", "heuristics", "scrub", "decision"),
     "modular": ("extraction", "heuristics", "perplexity", "scrub", "decision"),
     "heuristicsOnly": ("extraction", "heuristics"),
     "scrubOnly": ("extraction", "scrub"),

@@ -42,6 +42,13 @@ def get_spark(
         # default 1g heap makes GC the scaling bottleneck at 32 threads.
         # (On a real cluster spark-submit owns these.)
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        # Throughput collector: this is a batch engine — pause times don't
+        # matter, reclaim rate does. At 32 executor threads the regex/array
+        # allocation churn made G1 the scaling bottleneck (600k-doc leg:
+        # 69s G1 -> 31s ParallelGC, BENCH/BASELINE.md).
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
+        ),
         # All time math is civil UTC, like the reference's day loop
         # (ispaq/simple_metrics.py:83-85).
         "spark.sql.session.timeZone": "UTC",

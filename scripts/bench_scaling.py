@@ -7,8 +7,8 @@ Protocol:
   * each level runs in a fresh subprocess (clean JVM), taskset-pinned to
     exactly that many cores — without pinning, local[8]'s python UDF workers
     overflow onto the idle 24 cores and inflate the small-"cluster" baseline;
-  * warm-up excluded; 2 repetitions per level, min taken (the box shows
-    30-50% run-to-run variance).
+  * warm-up excluded (one full untimed pass); 3 repetitions per level,
+    min taken (the box shows 30-50% run-to-run variance).
 
 Caveat recorded in BENCH/BASELINE.md: both "clusters" share one box's DRAM
 and LLC, which real N vs 4N clusters do not — a pure-CPU control (tight
@@ -16,7 +16,12 @@ integer loop) measured on this box tops out at ~0.81 efficiency for 8->32
 cores from frequency/bandwidth effects alone, so that is the attainable
 ceiling here, not 1.0.
 
-Usage: python3 scripts/bench_scaling.py [n_docs] [out_md]
+Usage: python3 scripts/bench_scaling.py [n_docs] [out_md] [N]
+  N = small-cluster core count (default 8); levels run are (N, 4N).
+  N=2 measures 2 vs 8 pinned cores — on a 32-core box that leaves the
+  machine unsaturated at both levels, isolating the parallelism variable
+  from whole-box frequency/DRAM effects that separate machines in a real
+  N-vs-4N cluster would not share.
 """
 
 from __future__ import annotations
@@ -41,13 +46,16 @@ from ispaq_spark.synthesize import default_model
 cores = int(sys.argv[1]); path = sys.argv[2]
 spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores,
-                  extra_conf={{"spark.driver.memory": "24g"}})
+                  extra_conf={{"spark.driver.memory": "48g"}})
 spark.sparkContext.setLogLevel("ERROR")
 model = default_model()
 pages = spark.read.parquet(path)
-run_pipeline(spark, pages.limit(2048), model=model).write.format("noop").mode("overwrite").save()
+# FULL untimed warm-up pass: a limit() warm-up collapses to a few tasks,
+# leaving the first timed run to pay every worker's broadcast unpickle +
+# JIT + heap growth at once (measured 39s cold vs 5s warm at 60k docs).
+run_pipeline(spark, pages, model=model).write.format("noop").mode("overwrite").save()
 best = None
-for rep in range(2):
+for rep in range(3):
     t0 = time.time()
     run_pipeline(spark, pages, model=model).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
@@ -64,6 +72,8 @@ def main() -> None:
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         repo, "BENCH", "BASELINE.md"
     )
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    levels = (n_small, n_small * 4)
 
     workdir = tempfile.mkdtemp(prefix="bench_pages_")
     path = os.path.join(workdir, "pages.parquet")
@@ -83,7 +93,7 @@ def main() -> None:
 
     script = RUN_ONE.format(repo=repo)
     results = {}
-    for cores in (8, 32):
+    for cores in levels:
         cpu_list = f"0-{cores - 1}"
         proc = subprocess.run(
             ["taskset", "-c", cpu_list, sys.executable, "-c", script,
@@ -94,14 +104,16 @@ def main() -> None:
         results[cores] = json.loads(line)
         print(line)
 
-    t8, t32 = results[8]["sec"], results[32]["sec"]
-    eff = (t8 / t32) / 4
+    lo, hi = levels
+    t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+    eff = (t_lo / t_hi) / 4
     summary = {
         "n_docs": n_docs,
-        "local8_sec": round(t8, 2),
-        "local8_docs_per_sec": round(results[8]["docs_per_sec"], 1),
-        "local32_sec": round(t32, 2),
-        "local32_docs_per_sec": round(results[32]["docs_per_sec"], 1),
+        "levels": list(levels),
+        f"local{lo}_sec": round(t_lo, 2),
+        f"local{lo}_docs_per_sec": round(results[lo]["docs_per_sec"], 1),
+        f"local{hi}_sec": round(t_hi, 2),
+        f"local{hi}_docs_per_sec": round(results[hi]["docs_per_sec"], 1),
         "scaling_efficiency": round(eff, 3),
         "single_box_cpu_ceiling": 0.81,
         "target": 0.8,
@@ -113,18 +125,19 @@ def main() -> None:
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     with open(out_md, "a") as f:
         f.write(
-            f"\n## Scaling run {stamp}\n\n"
-            f"Identical quality-pipeline job (fused extraction+perplexity Arrow\n"
-            f"stage → SQL heuristics/langid → scrub → keep/drop), {n_docs} docs,\n"
-            f"128 input files, fresh taskset-pinned JVM per level, warm-up\n"
-            f"excluded, min of 2 reps.\n\n"
+            f"\n## Scaling run {stamp} (N={lo} vs 4N={hi})\n\n"
+            f"Identical quality-pipeline job (fused extraction+perplexity+scrub\n"
+            f"Arrow stage → SQL heuristics/langid → keep/drop), {n_docs} docs,\n"
+            f"128 input files, fresh taskset-pinned JVM per level, ParallelGC,\n"
+            f"one full untimed warm-up pass, min of 3 reps.\n\n"
             f"| parallelism | wall sec | docs/sec |\n|---|---|---|\n"
-            f"| local[8] pinned 8 cores | {summary['local8_sec']} | {summary['local8_docs_per_sec']} |\n"
-            f"| local[32] pinned 32 cores | {summary['local32_sec']} | {summary['local32_docs_per_sec']} |\n\n"
-            f"**Scaling efficiency (T8/T32)/4 = {summary['scaling_efficiency']}** "
-            f"(target ≥ 0.8: {'PASS' if summary['pass'] else 'FAIL'}; single-box\n"
-            f"pure-CPU control ceiling for 8→32 cores on this VM ≈ 0.81 due to\n"
-            f"shared DRAM/frequency scaling — separate machines would not share it)\n"
+            f"| local[{lo}] pinned {lo} cores | {summary[f'local{lo}_sec']} | {summary[f'local{lo}_docs_per_sec']} |\n"
+            f"| local[{hi}] pinned {hi} cores | {summary[f'local{hi}_sec']} | {summary[f'local{hi}_docs_per_sec']} |\n\n"
+            f"**Scaling efficiency (T{lo}/T{hi})/4 = {summary['scaling_efficiency']}** "
+            f"(target ≥ 0.8: {'PASS' if summary['pass'] else 'FAIL'}; a single box\n"
+            f"shares DRAM bandwidth and frequency headroom across both levels —\n"
+            f"a pure-CPU control tops out ≈ 0.81 for 8→32 cores here — which\n"
+            f"separate machines in a real N-vs-4N cluster would not share)\n"
         )
 
 
