@@ -1964,6 +1964,63 @@ def q_xcorr_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.9 table-returning UDTF (apply_PSD_metric surface)
+# ===========================================================================
+
+
+@qdef(
+    "udtf_repeated_ngrams",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest([array_to_string(words[i:i+2], ' ')
+                     for i in range(1, len(words) - 1)]) AS gram
+      FROM w WHERE len(words) >= 3
+    )
+    SELECT doc_id, gram, count(*) AS cnt
+    FROM g GROUP BY doc_id, gram HAVING count(*) >= 3
+    """,
+)
+def q_udtf_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-returning Python UDTF in a LATERAL join — the surface of the
+    reference's table-returning metric functions (`apply_PSD_metric`
+    returns three tables per target, ispaq/irismustangmetrics.py:229-286):
+    one input row fans out to N output rows (repeated 3-grams with counts).
+    Demonstration of the UDTF API, NOT a hot-path pattern — per-row Python;
+    the production form of this exact computation is the pure-Catalyst
+    dup_3gram/text_heuristics family."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram string, cnt bigint")
+    class RepeatedNgrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            if len(toks) < 3:
+                return
+            counts = Counter(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+            for gram, cnt in counts.items():
+                if cnt >= 3:
+                    yield gram, cnt
+
+    spark.udtf.register("repeated_ngrams", RepeatedNgrams)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.gram, s.cnt
+        FROM _docs_udtf d, LATERAL repeated_ngrams(d.text) s
+        """
+    )
+
+
+# ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
 
