@@ -18,14 +18,21 @@ from ispaq_spark import driver_queries as _dq
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: heuristic quality metrics + langid + keep decision over the
-    sf0.001 documents table (the engine's core metric-set stage)."""
+    documents table (the engine's core metric-set stage). Data dir defaults
+    to sf0.001 and is overridable via SPARK_GRAFT_SF_DIR for driver reuse at
+    other scale factors."""
+    import os
+
     from pyspark.sql import functions as F
 
-    from ispaq_spark.functions.heuristics import with_heuristics
+    from ispaq_spark.functions.heuristics import (
+        with_heuristics,
+        with_stopword_langid,
+    )
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    h = with_heuristics(d, "text")
+    h = with_stopword_langid(with_heuristics(d, "text"), "text")
     return h.select(
         "doc_id",
         "lang",

@@ -46,7 +46,10 @@ THRESHOLDS = {
     "min_stopword_ratio": 0.05,
     "max_symbol_word_ratio": 0.25,
     "max_dup_5gram_frac": 0.30,
-    "min_lang_conf": 0.03,
+    # posterior from the fastText-capability classifier (LANGID_*), no
+    # longer the stopword ratio: the observed clusters are <=0.28
+    # (gibberish/'und') and >=0.65 (real languages), so 0.5 cannot straddle.
+    "min_lang_conf": 0.5,
     "max_perplexity": 3000.0,
     "max_word_len": 40,
 }
@@ -108,10 +111,44 @@ COMPILED_SYMBOL = re.compile(SYMBOL_PATTERN)
 # ---------------------------------------------------------------------------
 import zlib as _zlib
 
-LM_ORDER = 3
+LM_ORDER = 5
 LM_FLOOR_LOGPROB = -12.0
+# Prune n-grams below this count before the model leaves the cluster: at web
+# scale the *distinct* n-gram table is corpus-sized (singletons dominate,
+# especially at order 5) while the *pruned* table is model-sized. A uniform
+# threshold preserves the stupid-backoff superset property — count(prefix)
+# >= count(kgram), so any kept k-gram's (k-1)-prefix is also kept — and is
+# applied identically by the pure-Python and the distributed trainer, so
+# parity is exact.
+LM_MIN_COUNT = 2
 
 
 def ngram_hash(s: str) -> int:
     """Deterministic n-gram key hash: crc32 over UTF-8 bytes."""
     return _zlib.crc32(s.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# fastText-capability language-ID contract (the lid.176 slot of the north
+# star; graft slot = the per-target evalresp model join, ispaq/utils.py:
+# 558-673). Architecture matches fastText's: hashed character-n-gram bag ->
+# linear scores per language -> softmax posterior; here the linear weights
+# are multinomial-NB log-probabilities trained on a held-out labeled corpus
+# (the fasttext library is absent from the container, so the *capability*
+# is rebuilt, not wrapped).
+#
+# The feature hash is a Horner polynomial over UTF-8 bytes mod 2^64 (wraps),
+# bucketed mod LANGID_BUCKETS — chosen over crc32 because it vectorizes to
+# ~9 numpy ops per document (stride-shifted byte arrays), keeping BOTH the
+# scorer and the trainer's feature extraction Arrow-batch vectorized with
+# zero per-character Python.
+# ---------------------------------------------------------------------------
+LANGID_NGRAMS: tuple[int, ...] = (2, 3, 4)  # char-n-gram orders (UTF-8 bytes)
+LANGID_BUCKETS = 4096  # feature-hash buckets; model = |langs| x BUCKETS
+LANGID_ALPHA = 0.5  # add-alpha smoothing for the NB log-probabilities
+LANGID_HASH_P = 1099511628211  # FNV-1a prime, Horner multiplier mod 2^64
+# Length-normalized softmax posterior below this -> 'und' (the fastText
+# "no confident label" behavior). Kept well inside the empty band between
+# the gibberish conf cluster and the clean-text cluster (test_langid pins
+# the margin).
+LANGID_UND_CONF = 0.45

@@ -632,13 +632,130 @@ def _langid_sql_cascade() -> str:
 
 @qdef("langid_confusion", _langid_sql_cascade())
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stopword-vote langid (pipeline langid stage) aggregated into a
-    (labeled lang x predicted lang) confusion table."""
-    from .functions.heuristics import with_heuristics
+    """stopword-vote langid (the SQL-expressible twin of the pipeline's
+    classifier langid stage) aggregated into a (labeled lang x predicted
+    lang) confusion table."""
+    from .functions.heuristics import with_stopword_langid
 
     d = t(spark, sf_dir, "documents")
-    h = with_heuristics(d, "text")
+    h = with_stopword_langid(d, "text")
     return h.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+_NB_BUCKETS = 512
+_NB_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT d.doc_id, d.lang,
+             (('0x' || substr(md5(substr(d.text, i.i, n.n)), 1, 8))::BIGINT
+               % {_NB_BUCKETS}) AS bucket
+      FROM docs d,
+           (VALUES (2), (3), (4)) n(n),
+           LATERAL (SELECT unnest(range(1, length(d.text) - n.n + 2)) AS i) i
+    ),
+    counts AS (
+      SELECT lang, bucket, count(*) AS c FROM grams GROUP BY lang, bucket
+    ),
+    totals AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY lang),
+    cand AS (SELECT DISTINCT lang AS cl FROM docs),
+    scored AS (
+      SELECT g.doc_id, g.lang AS true_lang, c.cl,
+             sum(ln((coalesce(w.c, 0) + 0.5) / (t.tot + 0.5 * {_NB_BUCKETS})))
+               / count(*) AS s
+      FROM grams g
+      CROSS JOIN cand c
+      JOIN totals t ON t.lang = c.cl
+      LEFT JOIN counts w ON w.lang = c.cl AND w.bucket = g.bucket
+      GROUP BY g.doc_id, g.lang, c.cl
+    ),
+    ranked AS (
+      SELECT true_lang, cl,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(s, 6) DESC, cl ASC) AS rk
+      FROM scored
+    )
+    SELECT true_lang AS lang, cl AS pred_lang, count(*) AS n
+    FROM ranked WHERE rk = 1 GROUP BY true_lang, cl
+    """
+
+
+@qdef("langid_nb_confusion", _NB_SQL)
+def q_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-capability langid, end-to-end RELATIONAL twin: train a
+    hashed char-n-gram NB on the documents table's own labels, score every
+    document, emit the (label x argmax-prediction) confusion matrix. This
+    oracle-checks the same train->score math the pipeline stage runs
+    (functions/langid.py) through a second engine.
+
+    Scale note: the grams x candidate-langs join is the CHECKABLE form, not
+    the production form — the pipeline broadcasts the trained weight matrix
+    and scores map-only in Arrow batches (langid_udf); this query exists so
+    the NB semantics have a full cross-engine value oracle.
+
+    Graft slot: the per-target model join, ispaq/utils.py:558-673."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    B = _NB_BUCKETS
+    gram_parts = []
+    for n in (2, 3, 4):
+        gram_parts.append(
+            d.select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.length("text") - F.lit(n) + F.lit(1)
+                        ),
+                        lambda i: F.col("text").substr(i, F.lit(n)),
+                    )
+                ).alias("g"),
+            )
+        )
+    grams = gram_parts[0].unionAll(gram_parts[1]).unionAll(gram_parts[2])
+    grams = grams.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(B),
+        ).alias("bucket"),
+    )
+    counts = grams.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    cand = d.select(F.col("lang").alias("cl")).distinct()
+    w = counts.withColumnRenamed("lang", "cl")
+    scored = (
+        grams.crossJoin(F.broadcast(cand))
+        .join(F.broadcast(totals.withColumnRenamed("lang", "cl")), "cl")
+        .join(F.broadcast(w), ["cl", "bucket"], "left")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cl")
+        .agg(
+            (
+                F.sum(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(0.5))
+                        / (F.col("tot") + F.lit(0.5 * B))
+                    )
+                )
+                / F.count(F.lit(1))
+            ).alias("s")
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.round("s", 6).desc(), F.col("cl").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(win))
+    return (
+        ranked.where(F.col("rk") == 1)
+        .groupBy(F.col("true_lang").alias("lang"), F.col("cl").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @qdef(

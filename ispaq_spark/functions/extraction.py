@@ -32,31 +32,62 @@ def extracted_col(html_col: str = "html") -> Column:
     return extract_text_udf(F.col(html_col))
 
 
-def fused_extract_ppl_udf(spark, model: dict[int, float]):
-    """One-crossing fused stage: html -> (extracted_text, perplexity).
+def _langid_cols(texts: pd.Series, lid: dict) -> tuple[list, list]:
+    from ..reference_impl import score_langid as _lid_score
 
-    The modular path round-trips the extracted text JVM->Python->JVM->Python;
-    fusing halves the Arrow traffic and the Python batch count. Calls the
+    preds, confs = [], []
+    for t in texts:
+        if t is None:
+            preds.append(None)
+            confs.append(None)
+        else:
+            p, c = _lid_score(t, lid)
+            preds.append(p)
+            confs.append(c)
+    return preds, confs
+
+
+def fused_extract_ppl_udf(spark, model: dict[int, float], lid_model: dict):
+    """One-crossing fused stage:
+    html -> (extracted_text, perplexity, pred_lang, lang_conf).
+
+    The modular path round-trips the extracted text JVM->Python->JVM->Python
+    once per Arrow stage; fusing extraction + both model scorers cuts the
+    Arrow traffic and the Python batch count to one crossing. Calls the
     same reference functions, so parity is unchanged.
     """
     from ..reference_impl import perplexity as _ppl
 
     bcast = spark.sparkContext.broadcast(model)
+    bcast_lid = spark.sparkContext.broadcast(lid_model)
 
-    @F.pandas_udf("extracted_text string, perplexity double")
+    @F.pandas_udf(
+        "extracted_text string, perplexity double, "
+        "pred_lang string, lang_conf double"
+    )
     def fused(html: pd.Series) -> pd.DataFrame:
         m = bcast.value
+        lid = bcast_lid.value
         texts = html.map(extract_text)
         ppl = texts.map(lambda t: _ppl(t, m) if t is not None else None)
+        preds, confs = _langid_cols(texts, lid)
         return pd.DataFrame(
-            {"extracted_text": texts, "perplexity": ppl}
+            {
+                "extracted_text": texts,
+                "perplexity": ppl,
+                "pred_lang": preds,
+                "lang_conf": confs,
+            }
         )
 
     return fused
 
 
-def fused_extract_ppl_scrub_udf(spark, model: dict[int, float]):
-    """html -> (extracted_text, perplexity, scrubbed_text), ONE crossing.
+def fused_extract_ppl_scrub_udf(
+    spark, model: dict[int, float], lid_model: dict
+):
+    """html -> (extracted_text, perplexity, pred_lang, lang_conf,
+    scrubbed_text), ONE crossing.
 
     Scrubbing here instead of the JVM regexp_replace chain removes five
     java.util.regex passes (Matcher + string copy per rule per row) from
@@ -68,19 +99,25 @@ def fused_extract_ppl_scrub_udf(spark, model: dict[int, float]):
     from ..reference_impl import perplexity as _ppl, scrub_text as _scrub
 
     bcast = spark.sparkContext.broadcast(model)
+    bcast_lid = spark.sparkContext.broadcast(lid_model)
 
     @F.pandas_udf(
-        "extracted_text string, perplexity double, scrubbed_text string"
+        "extracted_text string, perplexity double, "
+        "pred_lang string, lang_conf double, scrubbed_text string"
     )
     def fused(html: pd.Series) -> pd.DataFrame:
         m = bcast.value
+        lid = bcast_lid.value
         texts = html.map(extract_text)
         ppl = texts.map(lambda t: _ppl(t, m) if t is not None else None)
+        preds, confs = _langid_cols(texts, lid)
         scrubbed = texts.map(lambda t: _scrub(t) if t is not None else None)
         return pd.DataFrame(
             {
                 "extracted_text": texts,
                 "perplexity": ppl,
+                "pred_lang": preds,
+                "lang_conf": confs,
                 "scrubbed_text": scrubbed,
             }
         )

@@ -144,28 +144,15 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_max(F.transform(toks, F.length)).cast("long"),
     )
 
-    # langid: per-language stopword hit counts -> argmax, ties broken by
-    # language code ascending (LANGS is sorted), 'und' on zero hits.
+    # stopword_ratio (Gopher stop-word rule): max over languages of
+    # stopword hit count / word count. pred_lang/lang_conf are NO LONGER
+    # produced here — they come from the fastText-capability classifier
+    # (functions/langid.py), decoupling lang_conf from stopword_ratio.
     hit_cols = {lang: f"_sw_{lang}" for lang in LANGS}
     for lang, c in hit_cols.items():
         df = df.withColumn(c, stopword_hits_hashed(F.col(TOK_H), lang))
     best = F.greatest(*[F.col(c) for c in hit_cols.values()])
-    pred = F.lit(UNKNOWN_LANG)
-    cascade = F.when(best <= 0, F.lit(UNKNOWN_LANG))
-    for lang in LANGS:
-        cascade = cascade.when(F.col(hit_cols[lang]) == best, F.lit(lang))
-    pred = cascade.otherwise(F.lit(UNKNOWN_LANG))
-    df = (
-        df.withColumn("pred_lang", F.when(text.isNotNull(), pred))
-        .withColumn("stopword_ratio", best / n)
-        .withColumn(
-            "lang_conf",
-            F.when(
-                F.col("pred_lang") == UNKNOWN_LANG, F.lit(0.0)
-            ).otherwise(best / n),
-        )
-        .drop(*hit_cols.values())
-    )
+    df = df.withColumn("stopword_ratio", best / n).drop(*hit_cols.values())
 
     df = df.withColumn("symbol_word_ratio", symbol_count(text) / n)
     df = df.withColumn(GRAMS, fivegram_col(F.col(TOK_H), n))
@@ -182,6 +169,29 @@ def with_heuristics(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = df.withColumn("num_pii", F.when(text.isNotNull(), pii_count(text)))
     df = df.withColumn("num_tox", F.when(text.isNotNull(), tox_count(text)))
     return df.drop(TOKENS, TOK_H, GRAMS)
+
+
+def with_stopword_langid(
+    df: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
+) -> DataFrame:
+    """Stopword-vote language ID as a pure-Catalyst cascade: argmax of
+    per-language stopword hit counts, ties broken by language code
+    ascending (LANGS is sorted), 'und' on zero hits. The SQL-expressible
+    langid twin (reference_impl.langid); the pipeline's production langid
+    is the classifier in functions/langid.py."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    df = df.withColumn(TOK_H, token_hash_col(toks))
+    hit_cols = {lang: f"_sw_{lang}" for lang in LANGS}
+    for lang, c in hit_cols.items():
+        df = df.withColumn(c, stopword_hits_hashed(F.col(TOK_H), lang))
+    best = F.greatest(*[F.col(c) for c in hit_cols.values()])
+    cascade = F.when(best <= 0, F.lit(UNKNOWN_LANG))
+    for lang in LANGS:
+        cascade = cascade.when(F.col(hit_cols[lang]) == best, F.lit(lang))
+    return df.withColumn(
+        out_col, F.when(text.isNotNull(), cascade.otherwise(F.lit(UNKNOWN_LANG)))
+    ).drop(TOK_H, *hit_cols.values())
 
 
 def keep_expr() -> Column:

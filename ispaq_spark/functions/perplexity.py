@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from ..contract import LM_ORDER, ngram_hash
+from ..contract import LM_MIN_COUNT, LM_ORDER, ngram_hash
 from ..reference_impl import TOTAL_UNIGRAMS_KEY, perplexity as _ref_perplexity
 
 
@@ -59,27 +59,45 @@ def kgrams_col(toks: Column, order: int = LM_ORDER) -> Column:
 
 
 def train_lm_distributed(
-    corpus: DataFrame, text_col: str = "text", order: int = LM_ORDER
+    corpus: DataFrame,
+    text_col: str = "text",
+    order: int = LM_ORDER,
+    min_count: int = LM_MIN_COUNT,
 ) -> dict[int, float]:
-    """explode(kgrams) -> groupBy(gram).count() -> driver dict.
+    """explode(kgrams) -> groupBy(gram).count() -> PRUNE -> driver dict.
 
-    The shuffle is a hash-agg with map-side combine; the result table is
-    model-sized (dimension), so collecting + broadcasting is the right move
-    at any corpus scale — the counts reduce *before* the driver sees them.
+    The shuffle is a hash-agg with map-side combine, but the *distinct*
+    n-gram table after the agg is corpus-sized (singletons dominate,
+    especially at order 5) — collecting it unpruned OOMs the driver at web
+    scale. The ``count >= min_count`` filter runs cluster-side, so only the
+    model-sized surviving table crosses to the driver; the uniform
+    threshold preserves the scorer's backoff superset property (see
+    contract.LM_MIN_COUNT). The unigram total (the denominator of unigram
+    probabilities) is computed PRE-prune by a separate map-only pass —
+    deriving it from pruned rows would drop singleton mass.
+
+    Mirrors reference_impl.train_lm exactly, including prune-per-gram-
+    string before hash-merge; test_perplexity asserts table equality and
+    that the collected size stays bounded as the corpus grows.
     """
-    counts = (
+    total1 = (
+        corpus.select(
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("t")
+        ).collect()[0]["t"]
+        or 0
+    )
+    rows = (
         corpus.withColumn("_toks", F.split(F.col(text_col), " "))
         .select(F.explode(kgrams_col(F.col("_toks"), order)).alias("g"))
         .groupBy("g")
         .count()
+        .where(F.col("count") >= min_count)
         .collect()
     )
     model: dict[int, float] = {}
-    total1 = 0
-    for row in counts:
-        model[ngram_hash(row["g"])] = float(row["count"])
-        if row["g"].startswith("1|"):
-            total1 += row["count"]
+    for row in rows:
+        h = ngram_hash(row["g"])
+        model[h] = model.get(h, 0.0) + float(row["count"])
     model[TOTAL_UNIGRAMS_KEY] = float(total1)
     return model
 

@@ -39,11 +39,14 @@ def run_pipeline(
     pages: DataFrame,
     metric_sets: tuple[str, ...] | str = "default",
     model: dict | None = None,
+    lid_model: dict | None = None,
     scrub_impl: str = "sql",
     salt_buckets: int | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> DOC_METRICS-shaped DataFrame."""
-    ctx = PipelineContext(spark=spark, model=model, scrub_impl=scrub_impl)
+    ctx = PipelineContext(
+        spark=spark, model=model, lid_model=lid_model, scrub_impl=scrub_impl
+    )
 
     df = pages.withColumn("ds", F.date_format("warc_ts", "yyyy-MM-dd"))
     if salt_buckets:

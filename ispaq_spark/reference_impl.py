@@ -23,12 +23,15 @@ import math
 import re
 from dataclasses import dataclass
 
+import numpy as np
+
 from .contract import (
     COMPILED_PII_COMBINED,
     COMPILED_SCRUB_RULES,
     COMPILED_SYMBOL,
     LANGS,
     LM_FLOOR_LOGPROB,
+    LM_MIN_COUNT,
     LM_ORDER,
     PII_RULE_NAMES,
     STOPWORDS,
@@ -86,23 +89,39 @@ LOG_BACKOFF = math.log(0.4)  # stupid-backoff alpha per level, in nats
 TOTAL_UNIGRAMS_KEY = ngram_hash("__total_unigrams__")
 
 
-def train_lm(corpus: list[str], order: int = LM_ORDER) -> dict[int, float]:
-    """Count n-grams (1..order) over tokenized docs -> {ngram_hash("k|gram"):
-    count}, plus the unigram total under TOTAL_UNIGRAMS_KEY.
+def train_lm(
+    corpus: list[str],
+    order: int = LM_ORDER,
+    min_count: int = LM_MIN_COUNT,
+) -> dict[int, float]:
+    """Count n-grams (1..order) over tokenized docs, prune grams below
+    ``min_count``, then hash-merge -> {ngram_hash("k|gram"): count}, plus
+    the PRE-prune unigram total under TOTAL_UNIGRAMS_KEY (the denominator of
+    unigram probabilities must stay the true token count).
 
-    The Spark-side distributed trainer (functions/perplexity.py) produces the
-    same table via explode + groupBy(hash) counting; test_perplexity asserts
-    table equality.
+    Prune-then-hash ordering matters: the distributed trainer
+    (functions/perplexity.py) prunes per gram *string* in the cluster before
+    the driver ever hashes, so the pure trainer does the same — under a
+    crc32 collision both sides then merge the same surviving counts.
+
+    The Spark-side distributed trainer produces the same table via
+    explode + groupBy + filter counting; test_perplexity asserts table
+    equality.
     """
-    model: dict[int, float] = {}
+    counts: dict[str, float] = {}
     total1 = 0
     for doc in corpus:
         toks = doc.split(" ")
         for k in range(1, order + 1):
             for i in range(len(toks) - k + 1):
-                h = ngram_hash(f"{k}|" + " ".join(toks[i : i + k]))
-                model[h] = model.get(h, 0.0) + 1.0
+                g = f"{k}|" + " ".join(toks[i : i + k])
+                counts[g] = counts.get(g, 0.0) + 1.0
         total1 += len(toks)
+    model: dict[int, float] = {}
+    for g, c in counts.items():
+        if c >= min_count:
+            h = ngram_hash(g)
+            model[h] = model.get(h, 0.0) + c
     model[TOTAL_UNIGRAMS_KEY] = float(total1)
     return model
 
@@ -126,8 +145,9 @@ def score_logprob(text: str, model: dict[int, float], order: int = LM_ORDER) -> 
             if k == 1:
                 denom = total1
             else:
-                # superset property: a seen k-gram implies its (k-1) prefix
-                # was counted, so the lookup cannot miss.
+                # superset property: count(prefix) >= count(kgram), so under
+                # the uniform min_count prune any kept k-gram's (k-1) prefix
+                # is also kept — the lookup cannot miss.
                 denom = model.get(
                     ngram_hash(f"{k - 1}|" + " ".join(toks[i - k + 1 : i])), c
                 )
@@ -139,6 +159,112 @@ def score_logprob(text: str, model: dict[int, float], order: int = LM_ORDER) -> 
 
 def perplexity(text: str, model: dict[int, float], order: int = LM_ORDER) -> float:
     return math.exp(-score_logprob(text, model, order))
+
+
+# ---------------------------------------------------------------------------
+# fastText-capability language ID (contract constants LANGID_*): hashed
+# char-n-gram bag -> per-language linear (NB) scores -> length-normalized
+# softmax posterior. One scorer, called identically by this reference
+# labeler and by the Spark pandas UDF (functions/langid.py) — float parity
+# by construction. Graft slot: the per-target evalresp model join
+# (ispaq/utils.py:558-673).
+# ---------------------------------------------------------------------------
+
+from .contract import (  # noqa: E402
+    LANGID_ALPHA,
+    LANGID_BUCKETS,
+    LANGID_HASH_P,
+    LANGID_NGRAMS,
+    LANGID_UND_CONF,
+)
+
+
+def char_ngram_buckets(text: str) -> np.ndarray:
+    """Hash buckets of all char n-grams (UTF-8 bytes, orders LANGID_NGRAMS).
+
+    Horner polynomial mod 2^64 over stride-shifted byte arrays: ~3 numpy
+    ops per order per document, zero per-character Python. uint64 wraps by
+    definition, so the hash is well-defined and identical everywhere.
+    """
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    p = np.uint64(LANGID_HASH_P)
+    b = np.uint64(LANGID_BUCKETS)
+    parts = []
+    with np.errstate(over="ignore"):
+        for n in LANGID_NGRAMS:
+            if len(raw) < n:
+                continue
+            h = np.zeros(len(raw) - n + 1, dtype=np.uint64)
+            for j in range(n):
+                h = h * p + raw[j : len(raw) - n + 1 + j]
+            parts.append(h % b)
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(parts)
+
+
+def langid_bucket_counts(text: str) -> np.ndarray:
+    """Dense (LANGID_BUCKETS,) int64 feature vector for one document."""
+    return np.bincount(
+        char_ngram_buckets(text).astype(np.int64), minlength=LANGID_BUCKETS
+    )
+
+
+def train_langid(labeled: list[tuple[str, str]]) -> dict:
+    """(lang, text) pairs -> NB model {langs, W(float64 L x B), prior}.
+
+    W[l, b] = log((count[l, b] + alpha) / (total[l] + alpha * B));
+    prior[l] = log(docs[l] / docs_total). The distributed trainer
+    (functions/langid.py) produces identical integer count matrices and
+    then applies these exact numpy expressions, so models compare equal.
+    """
+    langs = tuple(sorted({lang for lang, _ in labeled}))
+    idx = {lang: i for i, lang in enumerate(langs)}
+    counts = np.zeros((len(langs), LANGID_BUCKETS), dtype=np.int64)
+    docs = np.zeros(len(langs), dtype=np.int64)
+    for lang, text in labeled:
+        counts[idx[lang]] += langid_bucket_counts(text)
+        docs[idx[lang]] += 1
+    return langid_model_from_counts(langs, counts, docs)
+
+
+def langid_model_from_counts(
+    langs: tuple[str, ...], counts: np.ndarray, docs: np.ndarray
+) -> dict:
+    """Shared model-finalization step (single code path for both trainers)."""
+    totals = counts.sum(axis=1, keepdims=True).astype(np.float64)
+    W = np.log(
+        (counts.astype(np.float64) + LANGID_ALPHA)
+        / (totals + LANGID_ALPHA * LANGID_BUCKETS)
+    )
+    prior = np.log(docs.astype(np.float64) / docs.sum())
+    return {"langs": langs, "W": W, "prior": prior}
+
+
+def score_langid(text: str, lid: dict) -> tuple[str, float]:
+    """(pred_lang, confidence) for one document.
+
+    Per-gram-normalized scores -> stable softmax; argmax ties break toward
+    the lower lang index (langs sorted). Confidence below LANGID_UND_CONF,
+    or an empty feature bag, predicts 'und' (fastText's no-confident-label
+    behavior) while still reporting the posterior.
+    """
+    g = char_ngram_buckets(text)
+    if len(g) == 0:
+        return UNKNOWN_LANG, 0.0
+    counts = np.bincount(g.astype(np.int64), minlength=LANGID_BUCKETS)
+    scores = lid["prior"] + lid["W"].dot(counts.astype(np.float64))
+    # length normalization: per-gram average log-likelihood, so the softmax
+    # temperature (and LANGID_UND_CONF) is document-length invariant.
+    norm = scores / len(g)
+    norm = norm - norm.max()
+    probs = np.exp(norm)
+    probs /= probs.sum()
+    best = int(np.argmax(probs))
+    conf = float(probs[best])
+    if conf < LANGID_UND_CONF:
+        return UNKNOWN_LANG, conf
+    return lid["langs"][best], conf
 
 
 # ---------------------------------------------------------------------------
@@ -192,8 +318,10 @@ class DocMetrics:
 
 
 def langid(tokens: list[str]) -> tuple[str, int]:
-    """(predicted lang, stopword hits). Argmax of per-language stopword hit
-    counts, ties broken by language code ascending; 'und' when zero hits."""
+    """Stopword vote: (argmax lang, max stopword hits). Retained for the
+    stopword_ratio heuristic (the Gopher stop-word rule) and as the
+    SQL-expressible langid twin; the pipeline's pred_lang/lang_conf now
+    come from the fastText-capability classifier (score_langid)."""
     best_lang, best_c = UNKNOWN_LANG, 0
     for lang in LANGS:  # sorted order = deterministic tie-break
         sw = STOPWORDS[lang]
@@ -203,7 +331,13 @@ def langid(tokens: list[str]) -> tuple[str, int]:
     return best_lang, best_c
 
 
-def compute_metrics(text: str, model: dict[int, float]) -> DocMetrics:
+def compute_metrics(
+    text: str, model: dict[int, float], lid_model: dict | None = None
+) -> DocMetrics:
+    if lid_model is None:
+        from .synthesize import default_lid_model
+
+        lid_model = default_lid_model()
     tokens = text.split(" ")
     n = len(tokens)
     # mean word length via the spaces identity: total word chars =
@@ -211,8 +345,9 @@ def compute_metrics(text: str, model: dict[int, float]) -> DocMetrics:
     # with the Spark expression.
     mean_wl = (len(text) - n + 1) / n
     max_wl = max(len(t) for t in tokens)
-    lang, sw_hits = langid(tokens)
+    _sw_lang, sw_hits = langid(tokens)
     stop_ratio = sw_hits / n
+    lang, lang_conf = score_langid(text, lid_model)
     sym_ratio = len(COMPILED_SYMBOL.findall(text)) / n
     if n >= 5:
         grams = [" ".join(tokens[i : i + 5]) for i in range(n - 4)]
@@ -228,7 +363,7 @@ def compute_metrics(text: str, model: dict[int, float]) -> DocMetrics:
         symbol_word_ratio=sym_ratio,
         dup_5gram_frac=dup_frac,
         pred_lang=lang,
-        lang_conf=stop_ratio if lang != UNKNOWN_LANG else 0.0,
+        lang_conf=lang_conf,
         perplexity=ppl,
         num_pii=count_pii(text),
         num_tox=count_tox(text),
@@ -253,12 +388,14 @@ def decide_keep(m: DocMetrics) -> bool:
 
 
 def label_document(
-    html_bytes: bytes | None, model: dict[int, float]
+    html_bytes: bytes | None,
+    model: dict[int, float],
+    lid_model: dict | None = None,
 ) -> tuple[str | None, str | None, bool, int]:
     """Full reference pipeline for one document:
     (extracted_text, scrubbed_text, keep, quality_flag)."""
     text = extract_text(html_bytes)
     if text is None:
         return None, None, False, -9
-    m = compute_metrics(text, model)
+    m = compute_metrics(text, model, lid_model)
     return text, scrub_text(text), m.keep, 0

@@ -40,8 +40,19 @@ class MetricSet:
 class PipelineContext:
     spark: object
     model: dict | None = None
+    lid_model: dict | None = None
     scrub_impl: str = "sql"
     text_col: str = "extracted_text"
+
+    def ensure_models(self) -> None:
+        if self.model is None:
+            from .synthesize import default_model
+
+            self.model = default_model()
+        if self.lid_model is None:
+            from .synthesize import default_lid_model
+
+            self.lid_model = default_lid_model()
 
 
 def _extraction(df: DataFrame, ctx: PipelineContext) -> DataFrame:
@@ -59,12 +70,24 @@ def _heuristics(df: DataFrame, ctx: PipelineContext) -> DataFrame:
 def _perplexity(df: DataFrame, ctx: PipelineContext) -> DataFrame:
     from .functions.perplexity import perplexity_udf
 
-    if ctx.model is None:
-        from .synthesize import default_model
-
-        ctx.model = default_model()
+    ctx.ensure_models()
     udf = perplexity_udf(ctx.spark, ctx.model)
     return df.withColumn("perplexity", udf(F.col(ctx.text_col)))
+
+
+def _langid(df: DataFrame, ctx: PipelineContext) -> DataFrame:
+    """fastText-capability language ID (functions/langid.py): broadcast NB
+    model, Arrow-batched scoring, map-only."""
+    from .functions.langid import langid_udf
+
+    ctx.ensure_models()
+    udf = langid_udf(ctx.spark, ctx.lid_model)
+    df = df.withColumn("_lid", udf(F.col(ctx.text_col)))
+    return (
+        df.withColumn("pred_lang", F.col("_lid.pred_lang"))
+        .withColumn("lang_conf", F.col("_lid.lang_conf"))
+        .drop("_lid")
+    )
 
 
 def _scrub(df: DataFrame, ctx: PipelineContext) -> DataFrame:
@@ -82,21 +105,20 @@ def _decision(df: DataFrame, ctx: PipelineContext) -> DataFrame:
 
 
 def _extract_ppl_scrub(df: DataFrame, ctx: PipelineContext) -> DataFrame:
-    """Fully-fused Arrow stage: extraction + perplexity + scrub in ONE
-    JVM<->Python crossing (functions/extraction.py
-    fused_extract_ppl_scrub_udf) — the default hot path; keeps the five
-    scrub regex passes off the shared JVM heap."""
+    """Fully-fused Arrow stage: extraction + perplexity + langid + scrub in
+    ONE JVM<->Python crossing (functions/extraction.py
+    fused_extract_ppl_scrub_udf); keeps the five scrub regex passes off the
+    shared JVM heap."""
     from .functions.extraction import fused_extract_ppl_scrub_udf
 
-    if ctx.model is None:
-        from .synthesize import default_model
-
-        ctx.model = default_model()
-    udf = fused_extract_ppl_scrub_udf(ctx.spark, ctx.model)
+    ctx.ensure_models()
+    udf = fused_extract_ppl_scrub_udf(ctx.spark, ctx.model, ctx.lid_model)
     df = df.withColumn("_eps", udf(F.col("html")))
     return (
         df.withColumn("extracted_text", F.col("_eps.extracted_text"))
         .withColumn("perplexity", F.col("_eps.perplexity"))
+        .withColumn("pred_lang", F.col("_eps.pred_lang"))
+        .withColumn("lang_conf", F.col("_eps.lang_conf"))
         .withColumn("scrubbed_text", F.col("_eps.scrubbed_text"))
         .drop("_eps")
     )
@@ -110,15 +132,14 @@ def _extract_ppl(df: DataFrame, ctx: PipelineContext) -> DataFrame:
     group, ispaq/irismustangmetrics.py:56-93)."""
     from .functions.extraction import fused_extract_ppl_udf
 
-    if ctx.model is None:
-        from .synthesize import default_model
-
-        ctx.model = default_model()
-    udf = fused_extract_ppl_udf(ctx.spark, ctx.model)
+    ctx.ensure_models()
+    udf = fused_extract_ppl_udf(ctx.spark, ctx.model, ctx.lid_model)
     df = df.withColumn("_ep", udf(F.col("html")))
     return (
         df.withColumn("extracted_text", F.col("_ep.extracted_text"))
         .withColumn("perplexity", F.col("_ep.perplexity"))
+        .withColumn("pred_lang", F.col("_ep.pred_lang"))
+        .withColumn("lang_conf", F.col("_ep.lang_conf"))
         .drop("_ep")
     )
 
@@ -127,9 +148,7 @@ _HEUR_COLS = (
     "word_count",
     "mean_word_len",
     "max_word_len",
-    "pred_lang",
     "stopword_ratio",
-    "lang_conf",
     "symbol_word_ratio",
     "dup_5gram_frac",
     "num_pii",
@@ -143,14 +162,20 @@ REGISTRY: dict[str, MetricSet] = {
         MetricSet(
             "extract_ppl",
             "arrow",
-            ("extracted_text", "perplexity"),
+            ("extracted_text", "perplexity", "pred_lang", "lang_conf"),
             (),
             _extract_ppl,
         ),
         MetricSet(
             "extract_ppl_scrub",
             "arrow",
-            ("extracted_text", "perplexity", "scrubbed_text"),
+            (
+                "extracted_text",
+                "perplexity",
+                "pred_lang",
+                "lang_conf",
+                "scrubbed_text",
+            ),
             (),
             _extract_ppl_scrub,
         ),
@@ -165,13 +190,20 @@ REGISTRY: dict[str, MetricSet] = {
             _perplexity,
         ),
         MetricSet(
+            "langid",
+            "arrow",
+            ("pred_lang", "lang_conf"),
+            ("extracted_text",),
+            _langid,
+        ),
+        MetricSet(
             "scrub", "sql", ("scrubbed_text",), ("extracted_text",), _scrub
         ),
         MetricSet(
             "decision",
             "sql",
             ("keep",),
-            _HEUR_COLS + ("perplexity",),
+            _HEUR_COLS + ("perplexity", "lang_conf"),
             _decision,
         ),
     )
@@ -182,6 +214,8 @@ REGISTRY: dict[str, MetricSet] = {
 DEFAULT_PROVIDER: dict[str, str] = {
     "extracted_text": "extraction",
     "perplexity": "perplexity",
+    "pred_lang": "langid",
+    "lang_conf": "langid",
     "scrubbed_text": "scrub",
     "keep": "decision",
     **{c: "heuristics" for c in _HEUR_COLS},

@@ -207,3 +207,28 @@ def default_model() -> dict:
     from .reference_impl import train_lm
 
     return train_lm(list(lm_corpus()))
+
+
+LANGID_CORPUS_SEED = 1313
+
+
+@lru_cache(maxsize=None)
+def langid_corpus(
+    n: int = 1500, seed: int = LANGID_CORPUS_SEED
+) -> tuple[tuple[str, str], ...]:
+    """Held-out labeled (lang, text) corpus for the langid classifier —
+    balanced round-robin over LANGS, separate seed namespace from both the
+    pages fixture and the LM corpus."""
+    out = []
+    for i in range(n):
+        rng = random.Random(f"lid-{seed}-{i}")
+        lang = LANGS[i % len(LANGS)]
+        out.append((lang, " ".join(_clean_tokens(rng, lang, rng.randint(20, 60)))))
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def default_lid_model() -> dict:
+    from .reference_impl import train_langid
+
+    return train_langid(list(langid_corpus()))

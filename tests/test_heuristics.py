@@ -9,6 +9,8 @@ from ispaq_spark.functions.heuristics import with_heuristics
 from ispaq_spark.reference_impl import compute_metrics
 
 
+# pred_lang/lang_conf moved to the langid classifier stage
+# (tests/test_langid.py); this file covers the pure-Catalyst heuristics.
 METRIC_COLS = (
     "word_count",
     "mean_word_len",
@@ -16,8 +18,6 @@ METRIC_COLS = (
     "stopword_ratio",
     "symbol_word_ratio",
     "dup_5gram_frac",
-    "pred_lang",
-    "lang_conf",
     "num_pii",
     "num_tox",
 )
@@ -52,5 +52,5 @@ def test_null_text_rows_null_metrics(spark):
     df = spark.createDataFrame([("u1", None), ("u2", "a b")], ["url", "text"])
     rows = {r["url"]: r for r in with_heuristics(df, "text").collect()}
     assert rows["u1"]["word_count"] is None
-    assert rows["u1"]["pred_lang"] is None
+    assert rows["u1"]["stopword_ratio"] is None
     assert rows["u2"]["word_count"] == 2

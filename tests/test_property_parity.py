@@ -31,9 +31,7 @@ _CHECK_COLS = (
     "word_count",
     "mean_word_len",
     "max_word_len",
-    "pred_lang",
     "stopword_ratio",
-    "lang_conf",
     "symbol_word_ratio",
     "dup_5gram_frac",
     "num_pii",
@@ -58,10 +56,27 @@ def test_heuristics_bitwise_parity(spark, corpus):
         assert got["word_count"] == ref.word_count, text
         assert got["mean_word_len"] == ref.mean_word_len, text  # exact IEEE
         assert got["max_word_len"] == ref.max_word_len, text
-        assert got["pred_lang"] == ref.pred_lang, text
         assert got["stopword_ratio"] == ref.stopword_ratio, text
-        assert got["lang_conf"] == ref.lang_conf, text
         assert got["symbol_word_ratio"] == ref.symbol_word_ratio, text
         assert got["dup_5gram_frac"] == ref.dup_5gram_frac, text
         assert got["num_pii"] == ref.num_pii, text
         assert got["num_tox"] == ref.num_tox, text
+
+
+@settings(max_examples=3, deadline=None)
+@given(corpus=_corpus)
+def test_stopword_langid_cascade_parity(spark, corpus):
+    """The pure-Catalyst stopword-vote cascade (the SQL-expressible langid
+    twin) must match reference_impl.langid exactly — argmax + tie-break."""
+    from ispaq_spark.functions.heuristics import with_stopword_langid
+    from ispaq_spark.reference_impl import langid
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["pred_lang"]
+        for r in with_stopword_langid(df, "text").collect()
+    }
+    for i, text in enumerate(corpus):
+        assert rows[i] == langid(text.split(" "))[0], text
