@@ -39,6 +39,7 @@ BENCH_QUERIES = (
     "text_heuristics",
     "dup_3gram",
     "langid_confusion",
+    "langid_nb_confusion",
     "token_count",
     "unigram_ppl",
     "minhash_signatures",
@@ -102,11 +103,40 @@ def main() -> None:
     # worker's broadcast-model unpickle + JVM heap growth + codegen at once
     # (measured: 39s first full pass vs 5-7s steady-state at 60k docs).
     force(run_pipeline(spark, pages, model=model))
-    t0 = time.time()
-    out = run_pipeline(spark, pages, model=model)
-    force(out)
-    pipeline_sec = time.time() - t0
+
+    def min_of(reps: int, fn) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    # min-of-3 reps (the scaling-harness protocol): a single rep at this
+    # corpus size is ~70% fixed per-job overhead + variance and understated
+    # steady-state ~7x in round 1.
+    pipeline_sec = min_of(
+        3, lambda: force(run_pipeline(spark, pages, model=model))
+    )
     timings["quality_pipeline"] = round(pipeline_sec, 3)
+
+    # marginal (steady-state) docs/sec via a two-size difference quotient:
+    # rate over the docs ADDED between half and full corpus, with the fixed
+    # per-job cost cancelled out.
+    n_half = n_docs // 2
+    pages_half = pages_df(spark, n_half, partitions=CPUS * 4).cache()
+    pages_half.count()
+    force(run_pipeline(spark, pages_half, model=model))  # warm cache path
+    half_sec = min_of(
+        3, lambda: force(run_pipeline(spark, pages_half, model=model))
+    )
+    pages_half.unpersist()
+    marginal = (
+        (n_docs - n_half) / (pipeline_sec - half_sec)
+        if pipeline_sec > half_sec
+        else n_docs / pipeline_sec
+    )
+
     t0 = time.time()
     force(rollup_lineage(run_pipeline(spark, pages, model=model)))
     timings["pipeline_with_rollup"] = round(time.time() - t0, 3)
@@ -129,6 +159,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "docs_per_sec": round(n_docs / pipeline_sec, 1),
+                "docs_per_sec_marginal": round(marginal, 1),
                 "n_docs": n_docs,
                 "cpus": CPUS,
             }

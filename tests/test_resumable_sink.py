@@ -67,3 +67,61 @@ def test_changed_input_invalidates_partition(spark, tmp_path):
     assert r["computed"] == [extra_ds]
     assert read_manifest(out)[extra_ds] != manifest_before[extra_ds]
     pages.unpersist()
+
+
+class _MemorySink:
+    """A second MetricSink backend (collected rows + in-memory snapshot):
+    proves run_resumable drives the interface, not the parquet backend —
+    the shape an Iceberg-catalog implementation drops into."""
+
+    def __init__(self):
+        self.partitions: dict[str, list] = {}
+        self.snapshot: dict[str, str] = {}
+        self.merge_calls = 0
+
+    def merge(self, metrics):
+        self.merge_calls += 1
+        for ds, rows in _group_by_ds(metrics):
+            self.partitions[ds] = rows
+
+    def read_snapshot(self):
+        return dict(self.snapshot)
+
+    def commit_snapshot(self, fingerprints):
+        self.snapshot = dict(fingerprints)
+
+    def partition_complete(self, ds):
+        return ds in self.partitions
+
+
+def _group_by_ds(metrics):
+    from collections import defaultdict
+
+    by_ds = defaultdict(list)
+    for r in metrics.collect():
+        by_ds[str(r["ds"])].append(r)
+    return by_ds.items()
+
+
+def test_run_resumable_drives_any_sink(spark):
+    model = default_model()
+    pages = pages_df(spark, 200).cache()
+    pages.count()
+    sink = _MemorySink()
+
+    r1 = run_resumable(spark, pages, model=model, sink=sink)
+    assert r1["computed"] and not r1["skipped"]
+    assert sorted(sink.partitions) == r1["computed"]
+    assert sink.merge_calls == 1
+
+    # no-op rerun: the resume logic consults only the interface
+    r2 = run_resumable(spark, pages, model=model, sink=sink)
+    assert not r2["computed"]
+    assert sink.merge_calls == 1
+
+    # losing a partition in the backend triggers exactly that recompute
+    lost = r1["computed"][0]
+    del sink.partitions[lost]
+    r3 = run_resumable(spark, pages, model=model, sink=sink)
+    assert r3["computed"] == [lost]
+    pages.unpersist()
