@@ -1,15 +1,16 @@
-"""spark-submit entry point: pages parquet/table in -> resumable metrics
-sink out.
+"""spark-submit entry point: declarative request -> resumable metrics sink.
 
-The CLI surface of the reference (ispaq/ispaq.py:47 main: metric-set alias
-x target x time range) as job arguments: --metric-sets picks registry
-aliases (ispaq_spark/registry.py ALIASES), --days prunes partitions,
---salt-buckets engages domain salting, and the sink resumes from the
-partition manifest (ispaq_spark/sinks.py).
+The CLI surface of the reference (ispaq/ispaq.py:47: `ispaq.py -P prefs -M
+metricAlias -S targetAlias --starttime ... --endtime ...`) re-targeted:
+aliases resolve through the preference file (ispaq_spark/request.py, the
+user_request.py:197-302 graft), unresolved names fall back to literal
+registry set names / URL globs, and validation fails loudly on unknown
+names.
 
   spark-submit --py-files dist/ispaq_spark.zip scripts/run_job.py \
-      --input /data/pages --output /data/metrics \
-      --metric-sets default --days 2024-03-01 2024-03-02 --salt-buckets 256
+      -P preference_files/default.txt -M default -S hotSites \
+      --starttime 2024-03-01 --endtime 2024-03-03 \
+      --input /data/pages --output /data/metrics --salt-buckets 256
 """
 
 from __future__ import annotations
@@ -20,37 +21,41 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
-    ap.add_argument("--metric-sets", default="default")
-    ap.add_argument("--days", nargs="*", default=None)
+    ap.add_argument("-P", "--preferences", default=None,
+                    help="preference file (Metrics/Targets/Data_Access/Preferences)")
+    ap.add_argument("-M", "--metrics", default="default",
+                    help="metric-set alias or comma-separated set/column names")
+    ap.add_argument("-S", "--stations", "--targets", dest="targets",
+                    default=None, help="target alias or URL glob(s)")
+    ap.add_argument("--starttime", default=None)
+    ap.add_argument("--endtime", default=None)
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", default=None)
     ap.add_argument("--salt-buckets", type=int, default=None)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
+    from ispaq_spark.request import build_request, run_request
     from ispaq_spark.session import get_spark
-    from ispaq_spark.sinks import run_resumable
     from ispaq_spark.synthesize import default_model
 
-    spark = get_spark(app_name="ispaq_spark_job")
-    pages = spark.read.parquet(args.input)
-    if args.days:
-        pages = pages.where(
-            F.date_format("warc_ts", "yyyy-MM-dd").isin(args.days)
-        )
-    if args.salt_buckets:
-        from ispaq_spark.pipeline import salt_repartition
-
-        pages = salt_repartition(
-            pages.withColumn("ds", F.date_format("warc_ts", "yyyy-MM-dd")),
-            args.salt_buckets,
-        )
-    report = run_resumable(
-        spark, pages, args.output,
-        model=default_model(), metric_sets=args.metric_sets,
+    req = build_request(
+        preferences_path=args.preferences,
+        metrics=args.metrics,
+        targets=args.targets,
+        starttime=args.starttime,
+        endtime=args.endtime,
+        input_path=args.input,
+        output_path=args.output,
     )
-    print(json.dumps(report))
+    if args.salt_buckets is not None:
+        req.preferences["salt_buckets"] = args.salt_buckets
+
+    spark = get_spark(app_name="ispaq_spark_job")
+    report = run_request(spark, req, model=default_model())
+    if isinstance(report, dict):
+        print(json.dumps(report))
+    else:  # no output path: materialize a row count as the job result
+        print(json.dumps({"rows": report.count()}))
     spark.stop()
 
 
