@@ -2147,6 +2147,402 @@ def q_udtf_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-2 additions: as-of join, C4-style span dedup, near-dup clustering
+# (iterative connected components), skew-salted aggregation, int8-quantized
+# ANN.
+# ===========================================================================
+
+
+@qdef(
+    "asof_join",
+    """
+    WITH errors AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'error'
+    ), clicks AS (
+      SELECT ts, user_id, value FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id,
+           e.user_id,
+           round(e.value, 6)  AS error_value,
+           c.ts               AS last_click_ts,
+           round(c.value, 6)  AS last_click_value
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'error' event, the most recent 'click' by the
+    same user at or before the error's timestamp (inclusive). Spark has no
+    ASOF JOIN operator (the oracle uses DuckDB's native one); a range
+    self-join plans as a broadcast-nested-loop or explodes per-key pairs.
+    The scalable formulation used here is union + window: tag both streams,
+    sort once per user, and carry the latest click forward with
+    last_value(..., ignorenulls) — ONE shuffle on user_id, zero joins,
+    linear in the event count regardless of how many clicks precede each
+    error. Grafts the reference's event-window association
+    (ispaq/crossCorrelation_metrics.py:120-181: closest preceding arrival
+    per event)."""
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("error", "click")).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        (F.col("event_type") == "error").alias("is_err"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("c_val"),
+    )
+    # Clicks sort before errors at an equal timestamp (is_err ascending:
+    # false < true), matching ASOF's inclusive `e.ts >= c.ts` bound.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last("c_val", ignorenulls=True).over(w))
+        .where("is_err")
+        .select(
+            "event_id",
+            "user_id",
+            r6("value").alias("error_value"),
+            "last_click_ts",
+            r6("last_click_value").alias("last_click_value"),
+        )
+    )
+
+
+_CHUNK_W = 8  # words per dedup span (C4 uses three-sentence spans)
+
+
+@qdef(
+    "chunk_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT)))
+               AS chunk_idx,
+             ws
+      FROM w
+    ), spans AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(
+               ws[chunk_idx * {_CHUNK_W} + 1 : chunk_idx * {_CHUNK_W} + {_CHUNK_W}],
+               ' ') AS chunk
+      FROM chunks
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (
+               PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                      FILTER (WHERE rn = 1), '') AS clean_text,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS removed_chunks
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal: split each document into fixed
+    8-word spans, keep only the globally FIRST occurrence of each span
+    (ordered by doc_id, chunk_idx), and reassemble documents from their
+    surviving spans. This is the corpus-level "remove repeated boilerplate"
+    stage of web-text pipelines (C4 drops duplicate three-sentence spans).
+
+    Scale shape: posexplode is map-side; the only shuffle is the window
+    partitioned by the span text (at 10^12 docs, by xxhash64(span) — 8
+    bytes instead of the span string on the wire, same first-occurrence
+    semantics modulo hash collisions); reassembly shuffles (doc_id, idx,
+    span) once. No self-join, no quadratic term. Grafts the reference's
+    duplicate-epoch pruning (ispaq/utils.py:404-431) lifted from metadata
+    rows to content spans."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(float(_CHUNK_W))).cast("int")
+    spans = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("ws"), i * _CHUNK_W + 1, _CHUNK_W), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    )
+    ranked = spans.withColumn("rn", rn)
+    return ranked.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("removed_chunks"),
+    )
+
+
+_CC_JACCARD = 0.8  # near-dup edge threshold for component clustering
+
+
+@qdef(
+    "neardup_components",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, lang, list_distinct(str_split(text, ' ')) AS ws
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM w a JOIN w b
+        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+            / (len(a.ws) + len(b.ws)
+               - len(list_filter(a.ws, x -> list_contains(b.ws, x))))
+            >= {_CC_JACCARD}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS n FROM edges),
+    walk AS (
+      WITH RECURSIVE r(n, c) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.b, r.c FROM r JOIN edges e ON e.a = r.n WHERE r.c < e.b
+      ) SELECT * FROM r
+    )
+    SELECT n AS doc_id, min(c) AS comp FROM walk GROUP BY n
+    """,
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the graph whose
+    edges are doc pairs with word-set Jaccard >= 0.8 (blocked on
+    (source, lang) at test scale; behind MinHash-LSH candidates at corpus
+    scale — same composition as `minhash_lsh_neardup`). Each doc maps to
+    its component's minimum doc_id, i.e. the canonical representative the
+    dedup stage would keep. This is the endgame of every dedup pipeline:
+    pairs alone over-remove (A~B, B~C must not drop both B and C while
+    keeping neither edge's context).
+
+    Algorithm: iterative min-label propagation — labels seed as the node
+    id; each round every node takes the min of its own and its neighbors'
+    labels; converged when no label changes. Each round is one shuffle
+    (join on edge endpoint + groupBy min): O(diameter) rounds, and real
+    near-dup graphs have tiny diameters (dup clusters are dense). At
+    10^12-doc scale the same loop runs with the large-star/small-star
+    optimization (Kiveris et al., "Connected Components in MapReduce")
+    to cut rounds to O(log d); the oracle is an exact recursive-CTE
+    closure. The driver-side loop is control flow only — every round's
+    data movement is distributed. Grafts the reference's channel-set
+    grouping (ispaq/simple_metrics.py:103-151: targets grouped into
+    equivalence classes before per-class metrics)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("ws"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where((inter / union) >= _CC_JACCARD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y"))
+        )
+        .persist()
+    )
+    labels = edges.select(F.col("x").alias("n")).distinct().withColumn(
+        "c", F.col("n")
+    )
+    try:
+        for _ in range(20):
+            neighbor_min = (
+                labels.join(edges, labels.n == edges.x)
+                .groupBy(F.col("y").alias("n"))
+                .agg(F.min("c").alias("nc"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "n", "left")
+                .select("n", F.least("c", "nc").alias("c"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("new")
+                .join(labels.alias("old"), "n")
+                .where(F.col("new.c") != F.col("old.c"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("n", "c").toDF("doc_id", "comp")
+    finally:
+        edges.unpersist()
+
+
+@qdef(
+    "salted_skew_agg",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6)       AS mean_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation: per-source doc counts and char
+    totals computed as groupBy(source, salt) partial aggregates followed by
+    a groupBy(source) combine. The oracle is the plain one-phase GROUP BY —
+    the salted plan must be value-identical.
+
+    Why: web corpora are domain-skewed (a handful of hosts carry a large
+    share of pages; the synthesizer draws domains from Zipf(1.3)). A plain
+    groupBy(domain) sends every row of the hottest domain to ONE reducer;
+    salting by a 16-way hash splits that key across 16 reducers and the
+    tiny combine (|domains| x 16 rows) collapses it. Note Spark's own
+    partial aggregation already does this for algebraic aggs — the salt
+    pattern matters for the non-algebraic ones (collect_list, exact
+    distinct, percentile) and is written out here as the reusable shape,
+    with AQE skew-join handling the join-side analog (session.py:55-61).
+    Grafts the reference's per-target metric rollup
+    (ispaq/simple_metrics.py:60-101)."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    )
+    partial = d.groupBy("source", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("n_chars").alias("pchars"),
+    )
+    return partial.groupBy("source").agg(
+        F.sum("pn").cast("bigint").alias("n_docs"),
+        F.sum("pchars").cast("bigint").alias("total_chars"),
+        r6(F.sum("pchars") / F.sum("pn")).alias("mean_chars"),
+    )
+
+
+@qdef(
+    "int8_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q8 AS (
+      SELECT vec_id,
+             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale,
+             list_transform(
+               v, x -> CAST(floor(x * (127.0 / list_max(
+                 list_transform(v, y -> abs(y))))) AS BIGINT)) AS q
+      FROM e
+    ), qq AS (SELECT q AS qv, scale AS qs FROM q8 WHERE vec_id = 0),
+    s AS (
+      SELECT q8.vec_id,
+             round(
+               (list_sum(list_transform(range(1, 65),
+                  i -> CAST(q8.q[i] * qq.qv[i] AS DOUBLE))) / (q8.scale * qq.qs))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(q8.q[i] * q8.q[i] AS DOUBLE))) ) / q8.scale
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(qq.qv[i] * qq.qv[i] AS DOUBLE))) ) / qq.qs),
+               6) AS cos
+      FROM q8, qq WHERE q8.vec_id <> 0
+    )
+    SELECT vec_id, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k: per-vector symmetric quantization
+    (scale = 127 / max|x|, q_i = floor(x_i * scale)) then cosine over the
+    dequantized vectors. The quantized corpus is 4x smaller than fp32 —
+    at 10^12-embedding scale that is the difference between the ANN index
+    fitting in cluster RAM or not; int8 dot products also SIMD-vectorize
+    4-wide vs fp32 on the same registers. floor() (not round) on both
+    sides: Spark casts float->int by truncation while DuckDB casts by
+    rounding, so the quantizer pins the rounding mode explicitly.
+    Composes with `ivf_topk`/`ann_lsh_buckets` (quantize within each
+    bucket). Brute-force ranking here so the oracle is exact."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scale = F.lit(127.0) / F.array_max(F.transform("v", F.abs))
+    q8 = e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            "v", lambda x: F.floor(x * scale).cast("bigint")
+        ).alias("q"),
+    )
+    qq = q8.where(F.col("vec_id") == 0).select(
+        F.col("q").alias("qv"), F.col("scale").alias("qs")
+    )
+    joined = q8.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qq))
+    dot = F.aggregate(
+        F.zip_with("q", "qv", lambda a, b: (a * b).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_q = F.sqrt(
+        F.aggregate(
+            F.transform("q", lambda a: (a * a).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_qv = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda a: (a * a).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = (dot / (F.col("scale") * F.col("qs"))) / (
+        (norm_q / F.col("scale")) * (norm_qv / F.col("qs"))
+    )
+    return (
+        joined.select("vec_id", r6(cos).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+# ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
 
