@@ -62,6 +62,15 @@ BENCH_QUERIES = (
     "cogroup_xcorr",
     "xcorr_collected",
     "minhash_lsh_neardup",
+    "asof_join",
+    "chunk_dedup",
+    "neardup_components",
+    "salted_skew_agg",
+    "int8_topk",
+    "bm25_rank",
+    "stratified_sample",
+    "arrow_token_stats",
+    "variant_extract",
 )
 
 

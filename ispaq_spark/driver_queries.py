@@ -2542,6 +2542,234 @@ def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "table", "query")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1)"
+        f" * d.tf{i} * ({_BM25_K1} + 1)"
+        f" / (d.tf{i} + {_BM25_K1}"
+        f"    * (1 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, text, str_split(text, ' ') AS ws
+            FROM documents WHERE text IS NOT NULL)
+    ), s AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             {df_cols}
+      FROM d
+    )
+    SELECT d.doc_id, round({score}, 6) AS bm25
+    FROM d, s
+    WHERE d.tf0 + d.tf1 + d.tf2 > 0
+    ORDER BY bm25 DESC, d.doc_id LIMIT 20
+    """
+
+
+@qdef("bm25_rank", _bm25_oracle())
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set — the relevance-scoring
+    primitive behind quality-weighted corpus curation (retrieve docs about
+    a topic, upweight them in the training mixture). Okapi BM25 with
+    k1=1.2, b=0.75.
+
+    Scale shape: per-document term frequencies and length are map-side
+    array ops; the corpus-level statistics (N, avgdl, per-term df) reduce
+    to ONE tiny row that broadcasts back — so the whole query is one
+    partial-aggregating reduce plus a map, no explode of the posting list
+    and no join keyed on terms (which would hot-spot on stopword-frequency
+    terms). Grafts the reference's corpus-normalized metric scoring
+    (ispaq/simple_metrics.py:60-101: per-target values scaled by
+    network-wide statistics)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    def _eq(tm: str):
+        # NB: a two-parameter lambda here would be bound as (element, index)
+        # by the higher-order-function API, not as a default-arg closure.
+        return lambda x: x == F.lit(tm)
+
+    for i, term in enumerate(_BM25_TERMS):
+        d = d.withColumn(f"tf{i}", F.size(F.filter("ws", _eq(term))))
+    d = d.withColumn("dl", F.size("ws")).drop("ws")
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        tf = F.col(f"tf{i}")
+        part = (
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (
+                tf
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        j.where(sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0)
+        .select("doc_id", r6(score).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+# per-language sampling rates out of 100 (training-mixture weights)
+_SAMPLE_RATES = {"en": 30, "de": 60, "fr": 60}
+_SAMPLE_DEFAULT_RATE = 90
+
+
+@qdef(
+    "stratified_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             (('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM h
+    WHERE bucket < CASE lang
+      {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items()))}
+      ELSE {_SAMPLE_DEFAULT_RATE} END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a document iff
+    a content hash of its id falls under the stratum's rate (per-language
+    training-mixture weights: downsample the dominant language, keep most
+    of the tail). Hash-gating instead of rand() makes the sample
+    REPRODUCIBLE — identical across retries, executor losses, and
+    cluster sizes (a rand() sample changes under task re-execution, which
+    breaks resumable pipelines and lineage), and it needs no shuffle at
+    all: the predicate is map-side, evaluated inside the scan. Rates
+    compose with `salted_skew_agg`'s rollup for post-sample mixture
+    verification. Grafts the reference's SNCL-pattern target subsetting
+    (ispaq/user_request.py:320-364) with quota semantics added."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _hex_hash_spark(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    rate = F.lit(_SAMPLE_DEFAULT_RATE)
+    for k, v in sorted(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        d.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@qdef(
+    "arrow_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT)       AS n_tokens,
+           CAST(octet_length(encode(text)) AS BIGINT)      AS n_bytes
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def q_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: per-document token/byte counts computed directly
+    on pyarrow RecordBatches with pyarrow.compute kernels — the text never
+    materializes as Python objects (no pandas round-trip either; mapInPandas
+    pays Arrow->pandas->Arrow per batch, mapInArrow is the zero-copy floor
+    of the Python UDF surface). Rounds out §2.9 alongside pandas UDF,
+    cogrouped applyInPandas, applyInPandasWithState, and the Python UDTF.
+    API coverage — the production form of THIS computation is the pure
+    Catalyst `token_count`/`text_heuristics` family (JVM-side, no Python
+    at all); use mapInArrow where a real Arrow-native library (tokenizers,
+    image codecs) consumes the batches. Grafts the batch boundary of the
+    reference's vectorized R calls (ispaq/irismustangmetrics.py:56-93)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.list_value_length(
+                        pc.split_pattern(text, " ")
+                    ).cast(pa.int64()),
+                    pc.binary_length(text).cast(pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_bytes"],
+            )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return d.mapInArrow(
+        stats, "doc_id bigint, n_tokens bigint, n_bytes bigint"
+    )
+
+
+@qdef(
+    "variant_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+      AND CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json once
+    into Variant, then typed variant_get extraction with a pushable
+    predicate. Versus get_json_object (string re-parse per access, used by
+    `rlike_filter`), Variant parses once into a binary encoding and every
+    subsequent field access is an O(log fields) binary probe — the right
+    storage for web-page metadata bags (crawl headers, per-domain
+    annotations) read by many metric stages at 10^12 rows. Oracle uses
+    DuckDB's JSON extraction over the same column."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", F.parse_json("props").alias("pv")
+    ).select(
+        "event_id",
+        F.try_variant_get(F.col("pv"), "$.k", "bigint").alias("k"),
+    )
+    return v.where(F.col("k").isNotNull() & (F.col("k") % 10 == 0)).select(
+        "event_id", "k"
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
