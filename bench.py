@@ -87,7 +87,7 @@ def main() -> None:
     from ispaq_spark import driver_queries as dq
     from ispaq_spark.pipeline import run_pipeline, rollup_lineage
     from ispaq_spark.session import get_spark
-    from ispaq_spark.synthesize import default_model, pages_df
+    from ispaq_spark.synthesize import default_model
 
     sf = sf_of(SF_DIR)
     spark = get_spark(
@@ -105,8 +105,36 @@ def main() -> None:
     # is ~17k docs/s on 32 cores, so 60k docs ≈ 4s of real work.
     n_docs = max(500, int(600_000 * sf))
     model = default_model()
-    pages = pages_df(spark, n_docs, partitions=CPUS * 4).cache()
-    pages.count()  # materialize outside the timed window
+    # Parquet input, not .cache(): the in-memory columnar cache of the html
+    # binary column scans SLOWER than a parquet file in the OS page cache
+    # (measured 2.5x per-doc at 60k docs), and parquet is what production
+    # reads — same protocol as scripts/bench_scaling.py. Generation runs in
+    # a SUBPROCESS JVM so the timed session's reused python workers and
+    # heap never see the generator's allocation churn.
+    import subprocess
+    import tempfile
+
+    pages_dir = os.path.join(
+        tempfile.mkdtemp(prefix="bench_pages_"), "pages.parquet"
+    )
+    gen_script = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from ispaq_spark.session import get_spark\n"
+        "from ispaq_spark.synthesize import pages_df\n"
+        "spark = get_spark(app_name='bench_gen', master='local[{cpus}]')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "pages_df(spark, {n}, partitions={parts}).write.mode('overwrite')"
+        ".parquet({out!r})\n"
+        "spark.stop()\n"
+    ).format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        cpus=CPUS,
+        n=n_docs,
+        parts=CPUS * 4,
+        out=pages_dir,
+    )
+    subprocess.run([sys.executable, "-c", gen_script], check=True)
+    pages = spark.read.parquet(pages_dir)
     # warm-up: one FULL untimed pass. A limit() warm-up collapses to a
     # handful of tasks, so the first full-width run still pays every python
     # worker's broadcast-model unpickle + JVM heap growth + codegen at once
@@ -132,14 +160,14 @@ def main() -> None:
     # marginal (steady-state) docs/sec via a two-size difference quotient:
     # rate over the docs ADDED between half and full corpus, with the fixed
     # per-job cost cancelled out.
-    n_half = n_docs // 2
-    pages_half = pages_df(spark, n_half, partitions=CPUS * 4).cache()
-    pages_half.count()
-    force(run_pipeline(spark, pages_half, model=model))  # warm cache path
+    import glob as _glob
+
+    files = sorted(_glob.glob(pages_dir + "/part-*.parquet"))
+    pages_half = spark.read.parquet(*files[: max(1, len(files) // 2)])
+    n_half = pages_half.count()
     half_sec = min_of(
         3, lambda: force(run_pipeline(spark, pages_half, model=model))
     )
-    pages_half.unpersist()
     marginal = (
         (n_docs - n_half) / (pipeline_sec - half_sec)
         if pipeline_sec > half_sec
@@ -149,7 +177,6 @@ def main() -> None:
     t0 = time.time()
     force(rollup_lineage(run_pipeline(spark, pages, model=model)))
     timings["pipeline_with_rollup"] = round(time.time() - t0, 3)
-    pages.unpersist()
 
     # --- operator queries at SF_DIR ---------------------------------------
     qs = dq.queries()
