@@ -48,3 +48,109 @@ def test_frame_sampling_rows(media):
 def test_real_decode_is_marked_stub():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"bytes")
+
+
+# --- real numpy codecs ------------------------------------------------------
+
+import numpy as np
+
+from ispaq_spark.functions.media import (
+    audio_feature,
+    audio_features_df,
+    decode_appm,
+    decode_ppm,
+    decode_wav,
+    encode_appm,
+    encode_ppm,
+    encode_wav,
+    frame_features,
+    image_feature,
+)
+
+
+def _img(seed: int, h: int = 8, w: int = 6) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_round_trip():
+    img = _img(1)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_ppm_comment_header():
+    img = _img(2, 2, 2)
+    raw = encode_ppm(img)
+    commented = b"P6\n# a comment\n2 2\n255\n" + raw.split(b"255\n", 1)[1]
+    assert np.array_equal(decode_ppm(commented), img)
+
+
+def test_wav_round_trip_and_centroid():
+    rate = 8000
+    t = np.arange(rate) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, r = decode_wav(encode_wav(sine, rate))
+    assert r == rate and len(samples) == rate
+    assert np.allclose(samples, sine, atol=1e-3)
+    rms, zcr, centroid, dur = audio_feature(samples, r)
+    assert abs(centroid - 440.0) < 5.0  # pure tone -> centroid at f0
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(dur - 1.0) < 1e-9
+
+
+def test_image_feature_known_values():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = [255, 0, 0]  # one pure-red pixel
+    f = image_feature(img)
+    assert abs(f[0] - 0.25) < 1e-6  # mean R
+    assert f[1] == 0.0 and f[2] == 0.0
+    # 2x2 pool of the 2x2 gray image is the per-pixel gray values
+    assert abs(f[4] - (1 / 3)) < 1e-6 and f[5] == 0.0
+
+
+def test_real_image_features_pipeline(spark):
+    img1, img2 = _img(3, 4, 4), _img(4, 6, 2)
+    rows = [
+        ("r1", "image", bytes(encode_ppm(img1)), 999, 999, None),  # lying meta
+        ("r2", "image", bytes(encode_ppm(img2)), None, None, None),
+        ("r3", "image", b"\x89PNG....", 10, 10, None),  # absent codec
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    out = {r["url"]: r for r in image_features(media, fake=False).collect()}
+    # dimensions come from the DECODED pixels, not metadata
+    assert (out["r1"]["width"], out["r1"]["height"]) == (4, 4)
+    assert (out["r2"]["width"], out["r2"]["height"]) == (2, 6)
+    assert out["r1"]["feature"] == pytest.approx(image_feature(img1), abs=1e-6)
+    assert out["r3"]["feature"] is None  # quarantined, job didn't fail
+
+
+def test_real_audio_features_pipeline(spark):
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    wav = bytes(encode_wav(0.3 * np.sin(2 * np.pi * 200 * t), rate))
+    rows = [
+        ("a1", "audio", wav, None, None, 500),
+        ("a2", "audio", b"ID3mp3junk", None, None, 500),  # absent codec
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    out = {r["url"]: r for r in audio_features_df(media).collect()}
+    assert abs(out["a1"]["spectral_centroid"] - 200.0) < 5.0
+    assert abs(out["a1"]["duration_s"] - 0.5) < 1e-6
+    assert out["a2"]["rms"] is None  # quarantined
+
+
+def test_real_frame_sampling_pipeline(spark):
+    frames = [_img(i, 4, 4) for i in range(6)]
+    vid = bytes(encode_appm(frames, fps=2))
+    media = spark.createDataFrame(
+        [("v1", "video", vid, 4, 4, 3000)], MEDIA
+    )
+    out = sorted(
+        frame_features(media, every_n=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    assert [r["frame_ms"] for r in out] == [0, 1000, 2000]
+    assert out[1]["feature"] == pytest.approx(
+        image_feature(frames[2]), abs=1e-6
+    )

@@ -106,3 +106,55 @@ def test_ivf_prunes_before_distance(spark):
     optimized plan joins on label with the broadcast probe set."""
     plan = plan_of(dq.queries()["ivf_topk"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """The as-of join compiles to union + window: exactly one exchange (the
+    per-user window partition), zero join operators, and the event-type
+    disjunction pushed to the scan — the shape that stays linear when one
+    user has a million preceding clicks."""
+    plan = plan_of(dq.queries()["asof_join"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan and "event_type" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
+def test_bm25_stats_broadcast(spark):
+    """Corpus statistics (N, avgdl, per-term df) must reach the scoring map
+    as a broadcast single row, never a shuffle join keyed on anything."""
+    plan = plan_of(dq.queries()["bm25_rank"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Hash-gated sampling is a pure scan+filter: zero exchanges, so it
+    composes into any downstream stage without a barrier."""
+    plan = plan_of(dq.queries()["stratified_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_int8_query_vector_broadcast(spark):
+    """The quantized query vector rides a broadcast; the corpus side never
+    shuffles for the ranking (only the final top-k exchange)."""
+    plan = plan_of(dq.queries()["int8_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dedup_two_exchanges(spark):
+    """Span dedup needs exactly two shuffles: the first-occurrence window
+    (by span) and the per-doc reassembly aggregate. Anything more means a
+    lost co-partitioning."""
+    plan = plan_of(dq.queries()["chunk_dedup"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 3  # window + agg partial/final pair
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_salted_agg_partial_final(spark):
+    """The salted two-phase aggregation must still map-side combine within
+    each phase (partial/final HashAggregate pairs)."""
+    plan = plan_of(dq.queries()["salted_skew_agg"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
