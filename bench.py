@@ -71,6 +71,7 @@ BENCH_QUERIES = (
     "stratified_sample",
     "arrow_token_stats",
     "variant_extract",
+    "vocab_topk",
 )
 
 

@@ -2379,61 +2379,23 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
-    edges_raw = (
-        pairs.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y"))
-        )
-        .persist()
-    )
-    # Size the iteration's shuffle width to the edge count: the label table
-    # is component-members-sized (tiny next to the corpus), and iterating a
+    from .operators.components import label_propagation_components
+
+    # Materialize the (expensive) pair join exactly once, then size the
+    # iteration's shuffle width to the edge count: the label table is
+    # component-members-sized (tiny next to the corpus), and iterating a
     # small table across the session's full shuffle width spends more time
-    # scheduling empty tasks than propagating labels. The count also
-    # materializes the (expensive) pair join into the cache exactly once.
-    # At 10^12 docs the same expression yields a wide shuffle.
-    n_edges = edges_raw.count()
+    # scheduling empty tasks than propagating labels. At 10^12 docs the
+    # same expression yields a wide shuffle. Lineage-cutting, convergence,
+    # and the O(log d) large-star/small-star variant live in
+    # operators/components.py.
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    n_edges = edges.count()
     parts = max(2, min(spark.sparkContext.defaultParallelism,
-                       n_edges // 500_000 + 1))
-    # localCheckpoint (not persist/unpersist): each round's labels must cut
-    # lineage, because unpersist() CASCADES — evicting round i's cache also
-    # evicts every cached plan built on it, so a persist-based loop silently
-    # recomputes the whole chain each round (measured: geometric per-round
-    # blow-up, 0.4s -> 3.9s by round 5). Checkpointed labels are plain
-    # LogicalRDDs with no dependency edges, so old rounds become garbage the
-    # moment the variable is rebound — the GraphFrames/GraphX pattern.
-    edges = edges_raw.repartition(parts, "x").localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("x").alias("n"))
-        .distinct()
-        .withColumn("c", F.col("n"))
-        .repartition(parts, "n")
-        .localCheckpoint(eager=True)
-    )
-    edges_raw.unpersist()
-    # Convergence via the label-sum invariant: min-label propagation only
-    # ever DECREASES labels, so an unchanged sum(c) means a fixed point.
-    # One tiny scalar agg per round — no labels-vs-labels probe join (a
-    # limit(1) probe plans as CollectLimit, whose serial partition-wave
-    # execution on the converged round cost more than the propagation).
-    prev_sum = None
-    for _ in range(20):
-        neighbor_min = (
-            labels.join(edges, labels.n == edges.x)
-            .groupBy(F.col("y").alias("n"))
-            .agg(F.min("c").alias("nc"))
-        )
-        labels = (
-            labels.join(neighbor_min, "n", "left")
-            .select("n", F.least("c", "nc").alias("c"))
-            .repartition(parts, "n")
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("c")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select("n", "c").toDF("doc_id", "comp")
+                       n_edges // 250_000 + 1))
+    return label_propagation_components(
+        edges, shuffle_partitions=parts
+    ).toDF("doc_id", "comp")
 
 
 @qdef(
@@ -2786,6 +2748,55 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return v.where(F.col("k").isNotNull() & (F.col("k") % 10 == 0)).select(
         "event_id", "k"
+    )
+
+
+@qdef(
+    "vocab_topk",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(str_split(text, ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), counts AS (
+      SELECT lang, token, count(*) AS cnt
+      FROM tok GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token ASC) AS rk
+      FROM counts
+    )
+    SELECT lang, token, cnt, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-K vocabulary — the tokenizer-training primitive
+    (BPE/WordPiece vocab induction starts from exactly this table).
+
+    Scale shape: explode is map-side; the first groupBy map-side-combines
+    so the shuffle carries (lang, token, partial_count) — vocab-sized, not
+    corpus-sized; the top-K window then runs over the COUNT table (again
+    vocab-sized), partitioned by lang. Nothing in the plan is proportional
+    to corpus length after the first partial aggregation. Deterministic
+    tie-break (count desc, token asc) so the oracle hash is stable.
+    Grafts the reference's per-target value ranking
+    (ispaq/simple_metrics.py:247-258)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+    )
+    counts = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    )
+    return (
+        counts.withColumn("rk", rk.cast("bigint"))
+        .where(F.col("rk") <= 10)
+        .select("lang", "token", "cnt", "rk")
     )
 
 
