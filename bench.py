@@ -72,6 +72,7 @@ BENCH_QUERIES = (
     "arrow_token_stats",
     "variant_extract",
     "vocab_topk",
+    "udaf_trimmed_mean",
 )
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import pandas  # module-level: resolves pandas_udf string annotations
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2797,6 +2799,48 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", rk.cast("bigint"))
         .where(F.col("rk") <= 10)
         .select("lang", "token", "cnt", "rk")
+    )
+
+
+@qdef(
+    "udaf_trimmed_mean",
+    """
+    WITH g AS (
+      SELECT source, list_sort(list(n_chars)) AS l, count(*) AS n,
+             CAST(floor(count(*) * 0.1) AS INT) AS k
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           round(list_aggregate(l[(k + 1):(n - k)], 'avg'), 6)
+             AS trimmed_mean_chars
+    FROM g
+    """,
+)
+def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface of §2.9): per-source
+    10%-trimmed mean of document length — a robust-statistic aggregate that
+    built-in SQL can't express without a full sort-collect, computed as a
+    Series->scalar Arrow aggregate. The reference's R metric functions are
+    exactly this shape (whole per-target series in, one scalar out,
+    ispaq/irismustangmetrics.py:56-93).
+
+    Scale note: a grouped-agg pandas UDF materializes each group in one
+    worker — right when groups are bounded (per-source, per-channel);
+    for unbounded groups use the two-stage approx_percentile prefilter
+    instead. Trim rule (sort, drop floor(n*0.1) per tail) is pinned
+    identically in the oracle's list_sort/list slice."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pandas.Series) -> float:
+        a = np.sort(v.to_numpy(dtype=np.float64))
+        k = int(np.floor(len(a) * 0.1))
+        return float(a[k : len(a) - k].mean())
+
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(r6(trimmed_mean("n_chars")).alias("trimmed_mean_chars"))
     )
 
 
