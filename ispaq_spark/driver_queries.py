@@ -732,20 +732,30 @@ def q_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
     cand = d.select(F.col("lang").alias("cl")).distinct()
     w = counts.withColumnRenamed("lang", "cl")
+    # Pre-aggregate gram INSTANCES to per-(doc, bucket) counts before the
+    # candidate-language expansion: sum(n * ln(p_bucket)) / sum(n) is the
+    # same score as summing per instance, but the candidate join and the
+    # weight lookup now run on <= 512 rows per doc instead of every char
+    # n-gram occurrence (~3x doc length) — the same map-side-combine move
+    # the production scorer gets for free from its broadcast weight matrix.
+    doc_buckets = grams.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     scored = (
-        grams.crossJoin(F.broadcast(cand))
+        doc_buckets.crossJoin(F.broadcast(cand))
         .join(F.broadcast(totals.withColumnRenamed("lang", "cl")), "cl")
         .join(F.broadcast(w), ["cl", "bucket"], "left")
         .groupBy("doc_id", F.col("lang").alias("true_lang"), "cl")
         .agg(
             (
                 F.sum(
-                    F.log(
+                    F.col("n")
+                    * F.log(
                         (F.coalesce(F.col("c"), F.lit(0)) + F.lit(0.5))
                         / (F.col("tot") + F.lit(0.5 * B))
                     )
                 )
-                / F.count(F.lit(1))
+                / F.sum("n")
             ).alias("s")
         )
     )
