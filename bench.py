@@ -153,11 +153,15 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
-    # min-of-3 reps (the scaling-harness protocol): a single rep at this
-    # corpus size is ~70% fixed per-job overhead + variance and understated
-    # steady-state ~7x in round 1.
+    # min-of-5 reps (the scaling-harness protocol, widened): a single rep
+    # at this corpus size is ~70% fixed per-job overhead + variance and
+    # understated steady-state ~7x in round 1; this VM additionally shows
+    # BIMODAL whole-box slowdowns (identical config measured 7s and 27s an
+    # hour apart — see "Single-box variance" in BENCH/BASELINE.md), so the
+    # authoritative steady-state figure is the fresh-pinned-JVM marginal
+    # rate from scripts/bench_scaling.py, not this JSON's docs_per_sec.
     pipeline_sec = min_of(
-        3, lambda: force(run_pipeline(spark, pages, model=model))
+        5, lambda: force(run_pipeline(spark, pages, model=model))
     )
     timings["quality_pipeline"] = round(pipeline_sec, 3)
 
