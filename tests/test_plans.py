@@ -158,3 +158,28 @@ def test_salted_agg_partial_final(spark):
     each phase (partial/final HashAggregate pairs)."""
     plan = plan_of(dq.queries()["salted_skew_agg"](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_decontaminate_broadcast_semi_join(spark):
+    """The benchmark gram set must broadcast into a left-semi join — the
+    corpus side never shuffles for the containment check."""
+    plan = plan_of(dq.queries()["decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_partial_aggregation(spark):
+    """The token count must map-side combine before its shuffle (the
+    shuffle carries vocab-sized partials, never one row per token
+    instance) and the top-K window adds exactly one more exchange."""
+    plan = plan_of(dq.queries()["vocab_topk"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Sequence packing is one window over the token-count table: a single
+    exchange on the partition key, no joins, no iteration."""
+    plan = plan_of(dq.queries()["pack_sequences"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
