@@ -2982,6 +2982,51 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "pivot_metrics",
+    """
+    SELECT user_id,
+           round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+             AS click_avg,
+           round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+             AS view_avg,
+           round(avg(CASE WHEN event_type = 'error' THEN value END), 6)
+             AS error_avg,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type IN ('click', 'view', 'error')
+    GROUP BY user_id
+    """,
+)
+def q_pivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long -> wide pivot (the inverse of `unpivot_eav`): per-user mean
+    value per event type as columns — the EAV-to-wide reshaping every
+    metric sink consumer does (the reference renders its long metricName
+    table wide for reports, ispaq/utils.py:119-147).
+
+    Written as explicit conditional aggregation, NOT `groupBy().pivot()`:
+    an unpinned pivot adds a distinct-collect JOB to discover the columns
+    (data-dependent schema — a drift hazard at 10^12 rows), and even a
+    pinned `pivot(col, VALUES)` plans a two-exchange `pivotfirst` — a
+    pre-aggregation on (user_id, event_type) followed by a second shuffle
+    on user_id (measured on Spark 4.1). `avg(when(...))` is one
+    partial+final aggregate and one exchange: strictly the better plan,
+    and the output schema is pinned in code."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "error")
+    )
+
+    def avg_of(etype: str):
+        return F.avg(F.when(F.col("event_type") == etype, F.col("value")))
+
+    return ev.groupBy("user_id").agg(
+        r6(avg_of("click")).alias("click_avg"),
+        r6(avg_of("view")).alias("view_avg"),
+        r6(avg_of("error")).alias("error_avg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -183,3 +183,14 @@ def test_pack_sequences_single_window_shuffle(spark):
     plan = plan_of(dq.queries()["pack_sequences"](spark, SF_DIR))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_pivot_single_aggregation_no_extra_job(spark):
+    """Long->wide pivot with pinned values must compile to one conditional
+    partial+final aggregation — one exchange on user_id, no join, and no
+    extra distinct pass to discover the pivot columns (that discovery job
+    is what an unpinned pivot() adds and what a 10^12-row table forbids)."""
+    plan = plan_of(dq.queries()["pivot_metrics"](spark, SF_DIR))
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
