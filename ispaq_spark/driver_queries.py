@@ -215,6 +215,38 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "psd_quantiles",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.05), 6) AS pct_5,
+           round(quantile_cont(value, 0.10), 6) AS pct_10,
+           round(quantile_cont(value, 0.50), 6) AS pct_50,
+           round(quantile_cont(value, 0.90), 6) AS pct_90,
+           round(quantile_cont(value, 0.95), 6) AS pct_95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_psd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """psdStatistics percentile columns (IRISMustangMetrics/R/
+    psdStatisticsMetric.R percent_5/10/50/90/95 per frequency bin) as ONE
+    exact sort-based percentile aggregate: all five fractions share a single
+    per-group sort, so the plan is one shuffle on the group key — no repeated
+    scans and no approx sketch (psdStatistics is exact in the reference).
+    At 100 TB the unbounded-group variant would swap to approx_percentile;
+    per-frequency groups here are day-bounded, so exact is the right call."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.percentile("value", F.lit(0.05))).alias("pct_5"),
+        r6(F.percentile("value", F.lit(0.10))).alias("pct_10"),
+        r6(F.percentile("value", F.lit(0.50))).alias("pct_50"),
+        r6(F.percentile("value", F.lit(0.90))).alias("pct_90"),
+        r6(F.percentile("value", F.lit(0.95))).alias("pct_95"),
+    )
+
+
+@qdef(
     "corr_per_group",
     """
     SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS qp_corr
