@@ -1413,6 +1413,32 @@ def q_piecewise_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @qdef(
+    "cube_totals",
+    """
+    SELECT event_type,
+           CAST(extract(month FROM ts) AS BIGINT) AS m,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, m)
+    """,
+)
+def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional CUBE report (extends the rollup_periods grouping-sets
+    family; the reference emits per-channel, per-month, and grand-total rows
+    from separate R passes over the metrics frame, `ispaq/utils.py:119-147` —
+    here all four grouping sets come out of ONE expand+hash-aggregate, a
+    single shuffle instead of four scans)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "m", F.month("ts").cast("bigint")
+    )
+    return ev.cube("event_type", "m").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+@qdef(
     "state_flags",
     """
     SELECT user_id,
