@@ -60,12 +60,16 @@ def _parse_ppm_at(payload: bytes, off: int) -> tuple[np.ndarray, int]:
     while len(fields) < 3:
         while payload[i : i + 1].isspace():
             i += 1
+        if payload[i : i + 1] == b"":  # truncated header: EOF mid-fields
+            raise ValueError("truncated PPM header")
         if payload[i : i + 1] == b"#":  # comment line
             while payload[i : i + 1] not in (b"\n", b""):
                 i += 1
             continue
         j = i
         while not payload[j : j + 1].isspace():
+            if payload[j : j + 1] == b"":
+                raise ValueError("truncated PPM header")
             j += 1
         fields.append(int(payload[i:j]))
         i = j
@@ -110,7 +114,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             "<I", payload[off + 4 : off + 8]
         )[0]
         body = payload[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated RIFF chunk body")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if (fmt, channels, bits) != (1, 1, 16):

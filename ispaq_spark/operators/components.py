@@ -69,6 +69,7 @@ def label_propagation_components(
         .withColumn("c", F.col("n"))
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(e, labels.n == e.a)
@@ -81,8 +82,17 @@ def label_propagation_components(
         )
         cur = labels.agg(F.sum("c")).first()[0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # Diameter > max_iter would silently yield split components;
+        # surface it instead of returning wrong labels.
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use "
+            "alternating_star_components (O(log d) rounds)"
+        )
     return labels.select(F.col("n").alias("node"), F.col("c").alias("comp"))
 
 
@@ -138,13 +148,19 @@ def alternating_star_components(
     )
     nodes = _sym(e).select(F.col("a").alias("node")).distinct()
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         e = _large_star(e).localCheckpoint(eager=True)
         e = _small_star(e).localCheckpoint(eager=True)
         sig = _signature(e)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"star alternation did not converge in {max_iter} rounds"
+        )
     # Fixed point: e holds (member, root) star edges. Roots map to
     # themselves; nodes that lost all edges along the way (possible only
     # for roots) are re-attached via the node list.

@@ -29,6 +29,10 @@ from pyspark.sql.functions import pandas_udf
 
 
 def _assign_udf(spark: SparkSession, centroids: np.ndarray):
+    """Returns (udf, broadcast handle). The caller owns the broadcast and
+    must unpersist() it once the assignment output is materialized — a new
+    broadcast per Lloyd round otherwise accumulates blocks on driver and
+    executors for the life of the job."""
     bc = spark.sparkContext.broadcast(centroids)
 
     @pandas_udf("int")
@@ -39,7 +43,7 @@ def _assign_udf(spark: SparkSession, centroids: np.ndarray):
         d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
-    return assign
+    return assign, bc
 
 
 def kmeans(
@@ -62,9 +66,13 @@ def kmeans(
 
     assigned = None
     for _ in range(max_iter):
+        assign, bc = _assign_udf(spark, centroids)
         assigned = data.withColumn(
-            "cluster", _assign_udf(spark, centroids)(F.col("v"))
+            "cluster", assign(F.col("v"))
         ).localCheckpoint(eager=True)
+        # checkpoint materialized the assignment; this round's centroid
+        # broadcast is dead weight from here on
+        bc.unpersist()
         # update: shuffle carries (cluster, dim, partial sum/count) only
         sums = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))

@@ -78,3 +78,13 @@ def test_two_components_and_self_loops(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
     labels2 = _spark_labels(alternating_star_components(edf))
     assert labels2 == labels
+
+
+def test_non_convergence_raises(spark):
+    # Regression (ADVICE r2): exhausting max_iter used to silently return
+    # split components; it must surface instead.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a int, b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation_components(chain, max_iter=2)

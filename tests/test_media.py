@@ -55,6 +55,7 @@ def test_real_decode_is_marked_stub():
 import numpy as np
 
 from ispaq_spark.functions.media import (
+    _parse_ppm_at,
     audio_feature,
     audio_features_df,
     decode_appm,
@@ -154,3 +155,30 @@ def test_real_frame_sampling_pipeline(spark):
     assert out[1]["feature"] == pytest.approx(
         image_feature(frames[2]), abs=1e-6
     )
+
+
+def test_truncated_ppm_header_raises_not_hangs():
+    # Regression: a truncated header used to infinite-loop the executor
+    # task instead of quarantining (ADVICE r2).
+    for payload in (b"P6\n100", b"P6\n100 ", b"P6\n# only a comment"):
+        with pytest.raises(ValueError):
+            _parse_ppm_at(payload, 0)
+
+
+def test_truncated_wav_chunks_raise_value_error():
+    # Regression: short fmt/data chunk bodies used to escape as
+    # struct.error past the quarantine except-tuple (ADVICE r2).
+    import struct as _s
+
+    bad_fmt = (
+        b"RIFF" + _s.pack("<I", 20) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_wav(bad_fmt)
+    truncated_body = (
+        b"RIFF" + _s.pack("<I", 100) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16) + b"\x01\x00\x01\x00" + b"\x00" * 4
+    )
+    with pytest.raises(ValueError):
+        decode_wav(truncated_body)
