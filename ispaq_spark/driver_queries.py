@@ -1044,8 +1044,7 @@ def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash.alias("simhash"))
 
 
-@qdef(
-    "jaccard_pairs",
+_JACCARD_BLOCK_ORACLE = (
     """
     WITH w AS (
       SELECT doc_id, source, lang,
@@ -1060,35 +1059,60 @@ def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
              6) AS jaccard
     FROM w a JOIN w b
       ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-    """,
+    """
 )
-def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup scoring over blocked candidate pairs — the
-    verify stage of LSH dedup. Blocking key (source, lang) bounds the
-    self-join (the nearest-compatible-neighbor pattern,
-    ispaq/crossCorrelation_metrics.py:182-323)."""
-    d = t(spark, sf_dir, "documents").select(
+
+
+def _word_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang, ws): distinct-word set per document — the
+    unit the word-level Jaccard verify kernel scores."""
+    return t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         "lang",
         F.array_distinct(F.split("text", " ")).alias("ws"),
     )
+
+
+def _jaccard_verify(cand: DataFrame, words: DataFrame) -> DataFrame:
+    """Verify kernel: exact word-set Jaccard for a CANDIDATE pair frame.
+
+    cand: (doc_a, doc_b) from any candidate generator (LSH bands, ANN
+    buckets, or a blocked self-join); words: (doc_id, ws). The kernel only
+    ever touches candidate pairs — its cost is O(|cand|), so the scale
+    posture is whatever the candidate stage's is."""
+    wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    j = cand.join(wa, "doc_a").join(wb, "doc_b")
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    return j.select("doc_a", "doc_b", r6(inter / union).alias("jaccard"))
+
+
+@qdef("jaccard_pairs", _JACCARD_BLOCK_ORACLE)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup scoring — the verify stage of LSH dedup,
+    fed here by a (source, lang)-blocked self-join candidate generator
+    (the nearest-compatible-neighbor pattern,
+    ispaq/crossCorrelation_metrics.py:182-323).
+
+    SCALE CAVEAT: the blocked self-join materializes O(B^2) pairs per
+    block — fine as the sf-small oracle form, quadratic at corpus scale.
+    The production path feeds the same `_jaccard_verify` kernel from a
+    candidate stage that prunes first: LSH band buckets
+    (`lsh_jaccard_verify` / `minhash_lsh_neardup`) or ANN buckets."""
+    d = _word_sets(spark, sf_dir)
     a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            r6(inter / union).alias("jaccard"),
-        )
+    cand = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
+    return _jaccard_verify(cand, d.select("doc_id", "ws"))
 
 
 # ===========================================================================
@@ -1784,9 +1808,7 @@ def _cos_cols(lhs: str, rhs: str) -> F.Column:
     return dot / (nl * nr)
 
 
-@qdef(
-    "cosine_neardup",
-    f"""
+_COSINE_BLOCK_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     )
@@ -1794,14 +1816,40 @@ def _cos_cols(lhs: str, rhs: str) -> F.Column:
            round({_COS_SQL}, 6) AS cos
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_COS_SQL} >= 0.30
-    """,
-)
-def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-duplicate pairs: label-blocked self-join (the
-    LSH-bucket analog, bounding the pair space) + in-row zip_with/aggregate
-    cosine, thresholded pre-rounding identically in both engines. The norm
-    sqrt is precomputed per VECTOR (O(n)) rather than per PAIR (O(n²/label))
-    — same IEEE value, the HOF per pair is just the dot product."""
+    """
+
+
+def _cosine_verify(cand: DataFrame, vecs: DataFrame, threshold: float) -> DataFrame:
+    """Verify kernel: exact cosine for a CANDIDATE pair frame.
+
+    cand: (vec_a, vec_b) from any candidate generator (ANN sign-LSH
+    buckets, label blocks); vecs: (vec_id, v, nrm) with the norm sqrt
+    precomputed per VECTOR (O(n)) rather than per PAIR — same IEEE value,
+    the HOF per pair is just the dot product. Cost is O(|cand|)."""
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    j = cand.join(va, "vec_a").join(vb, "vec_b")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        j.where(cos >= threshold)
+        .select("vec_a", "vec_b", r6(cos).alias("cos"))
+    )
+
+
+def _normed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1812,27 +1860,31 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    e = e.withColumn("nrm", nrm)
+    return e.withColumn("nrm", nrm)
+
+
+@qdef("cosine_neardup", _COSINE_BLOCK_ORACLE)
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-duplicate pairs: label-blocked candidate
+    generation (the LSH-bucket analog, bounding the pair space) feeding
+    the pluggable `_cosine_verify` kernel, thresholded pre-rounding
+    identically in both engines.
+
+    SCALE CAVEAT: label blocking materializes O(B^2) pairs per block —
+    the sf-small oracle form. At corpus scale feed `_cosine_verify` from
+    a pruning candidate stage instead (sign-LSH buckets as in
+    `ann_lsh_buckets`, or IVF cells as in `ivf_topk`)."""
+    e = _normed_vectors(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cand = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
     )
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cos >= 0.30)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            r6(cos).alias("cos"),
-        )
-    )
+    return _cosine_verify(cand, e.select("vec_id", "v", "nrm"), 0.30)
 
 
 @qdef(
@@ -1954,28 +2006,11 @@ _LSH_SQL_BANDS = """
 """
 
 
-@qdef("minhash_lsh_neardup", _LSH_SQL_BANDS.format(mh_cols=_minhash_sql_cols()))
-def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup detection: shingle -> 4 minhashes ->
-    2 bands of 2 rows -> band-bucket equi-join for candidates -> exact
-    Jaccard verify >= 0.5. The Spark side explodes (band_id, h1, h2) keys
-    and equi-joins them — the shape that scales (the shuffle carries band
-    keys, never documents); the oracle states the same candidate set as an
-    OR-join. Verification re-touches text only for the candidate pairs."""
-    d = _grams3_cols(t(spark, sf_dir, "documents"))
-
-    def mh(j: int):
-        prefix = f"{j}|"
-        return F.array_min(
-            F.transform(
-                F.col("grams"),
-                lambda s: _hex_hash_spark(F.concat(F.lit(prefix), s)),
-            )
-        ).alias(f"mh{j}")
-
-    sig = d.select("doc_id", "gset", *[mh(j) for j in range(_N_MINHASH)])
-    # Band keys only ride the candidate shuffle; the gram sets re-join by
-    # doc_id for the (tiny) verified candidate set.
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """MinHash band-bucket candidate generator: (doc_a, doc_b) pairs that
+    agree on at least one of two 2-row bands. The shuffle carries band
+    keys, never documents — the scale-safe pair source for any verify
+    kernel (`_jaccard_verify`, cosine, edit distance)."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -2008,6 +2043,37 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])  # pair may agree on both bands
     )
+    return cand
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gset, mh0..mh3): 3-gram shingle set + 4 minhashes."""
+    d = _grams3_cols(t(spark, sf_dir, "documents"))
+
+    def mh(j: int):
+        prefix = f"{j}|"
+        return F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda s: _hex_hash_spark(F.concat(F.lit(prefix), s)),
+            )
+        ).alias(f"mh{j}")
+
+    return d.select("doc_id", "gset", *[mh(j) for j in range(_N_MINHASH)])
+
+
+@qdef("minhash_lsh_neardup", _LSH_SQL_BANDS.format(mh_cols=_minhash_sql_cols()))
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle -> 4 minhashes ->
+    2 bands of 2 rows -> band-bucket equi-join for candidates -> exact
+    Jaccard verify >= 0.5. The Spark side explodes (band_id, h1, h2) keys
+    and equi-joins them — the shape that scales (the shuffle carries band
+    keys, never documents); the oracle states the same candidate set as an
+    OR-join. Verification re-touches text only for the candidate pairs."""
+    sig = _minhash_sig(spark, sf_dir)
+    # Band keys only ride the candidate shuffle; the gram sets re-join by
+    # doc_id for the (tiny) verified candidate set.
+    cand = _band_candidates(sig)
     ga = sig.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("ga"))
     gb = sig.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gb"))
     cand = cand.join(ga, "doc_a").join(gb, "doc_b")
@@ -3094,6 +3160,430 @@ def q_pivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-3 additions: frequency-domain Welch cross-spectra (gain / phase /
+# coherence), 360-angle orientation scan, PSD windowing policy, LSH-fed
+# jaccard verify.
+# ===========================================================================
+
+_WELCH_ORACLE = """
+    WITH e AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t
+      FROM events WHERE event_type = 'error'
+    ), c AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t
+      FROM events WHERE event_type = 'click'
+    ), lens AS (
+      SELECT le.user_id, least(le.n, lc.n) AS L
+      FROM (SELECT user_id, count(*) AS n FROM e GROUP BY user_id) le
+      JOIN (SELECT user_id, count(*) AS n FROM c GROUP BY user_id) lc
+        USING (user_id)
+      WHERE least(le.n, lc.n) >= 8
+    ), pos AS (
+      SELECT user_id, seg, unnest(range(0, 8)) AS p
+      FROM (
+        SELECT user_id,
+               unnest(range(0, ((L - 8) // 4) + 1)) AS seg
+        FROM lens
+      )
+    ), samp AS (
+      SELECT pos.user_id, pos.seg, pos.p,
+             (0.5 - 0.5 * cos(2 * pi() * pos.p / 7)) AS w,
+             e.value AS xv, c.value AS yv
+      FROM pos
+      JOIN e ON e.user_id = pos.user_id AND e.t = pos.seg * 4 + pos.p
+      JOIN c ON c.user_id = pos.user_id AND c.t = pos.seg * 4 + pos.p
+    ), dft AS (
+      SELECT user_id, seg, k,
+             sum(w * xv * cos(2 * pi() * k * p / 8))  AS rex,
+             -sum(w * xv * sin(2 * pi() * k * p / 8)) AS imx,
+             sum(w * yv * cos(2 * pi() * k * p / 8))  AS rey,
+             -sum(w * yv * sin(2 * pi() * k * p / 8)) AS imy
+      FROM samp CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) bins
+      GROUP BY user_id, seg, k
+    ), spec AS (
+      SELECT user_id, k,
+             avg(rex * rex + imx * imx) AS pxx,
+             avg(rey * rey + imy * imy) AS pyy,
+             avg(rex * rey + imx * imy) AS pxy_re,
+             avg(imx * rey - rex * imy) AS pxy_im
+      FROM dft GROUP BY user_id, k
+    )
+    SELECT user_id, CAST(k AS INT) AS freq_bin,
+           round((pxy_re * pxy_re + pxy_im * pxy_im) / (pxx * pyy), 6)
+             AS coherence,
+           round(sqrt(pxy_re * pxy_re + pxy_im * pxy_im) / pxx, 6) AS gain,
+           CASE WHEN (pxy_re * pxy_re + pxy_im * pxy_im) / (pxx * pyy)
+                     >= 0.001
+                THEN round(atan2(pxy_im, pxy_re), 6) END AS phase
+    FROM spec WHERE pxx > 0 AND pyy > 0
+"""
+
+
+@qdef("welch_coherence", _WELCH_ORACLE)
+def q_welch_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain Welch cross-spectrum between two streams per user:
+    Hann-windowed 8-sample segments at 50% overlap, numpy rFFT per segment,
+    segment-averaged auto/cross spectra -> transfer-function gain
+    |Pxy|/Pxx, phase atan2(Im Pxy, Re Pxy), and magnitude-squared coherence
+    |Pxy|^2/(Pxx*Pyy) at bins 1..3 — the semantics of `crossSpectrum`
+    (IRISSeismic/R/spectralUtils.R:44-214) feeding `transferFunctionMetric`
+    (IRISMustangMetrics/R/transferFunctionMetric.R:252-280), as a cogrouped
+    applyInPandas (one Arrow batch per key carries both series). The oracle
+    states the DFT as explicit windowed cos/sin sums — the same numbers the
+    FFT computes. Phase is NULL below coherence 1e-3 on both sides (atan2
+    of an averaged-to-noise cross-spectrum is not comparable)."""
+    from .operators.spectral import cogroup_welch
+
+    left, right = _xcorr_sides(spark, sf_dir)
+    out = cogroup_welch(left, right)
+    return out.select(
+        "user_id",
+        "freq_bin",
+        r6("coherence").alias("coherence"),
+        r6("gain").alias("gain"),
+        r6("phase").alias("phase"),
+    )
+
+
+@qdef("welch_collected", _WELCH_ORACLE)
+def q_welch_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Welch gain/phase/coherence semantics and oracle as
+    `welch_coherence`, restructured for group-count scale: JVM-side
+    sort_array(collect_list) per side, equi-join, ONE scalar pandas UDF
+    scoring thousands of keys per Arrow batch (vs one Python dispatch per
+    key) — the production shape at 10^9 keys, kept value-identical to the
+    cogroup form (operators/spectral.py:collected_welch)."""
+    from .operators.spectral import collected_welch
+
+    left, right = _xcorr_sides(spark, sf_dir)
+    out = collected_welch(left, right)
+    return out.select(
+        "user_id",
+        "freq_bin",
+        r6("coherence").alias("coherence"),
+        r6("gain").alias("gain"),
+        r6("phase").alias("phase"),
+    )
+
+
+@qdef(
+    "orientation_scan",
+    """
+    WITH ix AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) - 1
+               AS t
+      FROM events WHERE event_type IN ('error', 'click', 'view')
+    ), tri AS (
+      SELECT n.user_id, n.value AS nv, e.value AS ev, r.value AS rv
+      FROM ix n
+      JOIN ix e ON e.user_id = n.user_id AND e.t = n.t
+               AND e.event_type = 'click'
+      JOIN ix r ON r.user_id = n.user_id AND r.t = n.t
+               AND r.event_type = 'view'
+      WHERE n.event_type = 'error'
+    ), sums AS (
+      SELECT user_id, count(*) AS cnt,
+             sum(nv) AS sn, sum(ev) AS se, sum(rv) AS sr,
+             sum(nv * nv) AS snn, sum(ev * ev) AS see,
+             sum(nv * ev) AS sne, sum(nv * rv) AS snr,
+             sum(ev * rv) AS ser, sum(rv * rv) AS srr
+      FROM tri GROUP BY user_id HAVING count(*) >= 8
+    ), ang AS (
+      SELECT s.*, a.angle,
+             cos(radians(a.angle)) AS cth, sin(radians(a.angle)) AS sth
+      FROM sums s
+      CROSS JOIN (SELECT unnest(range(0, 360)) AS angle) a
+    ), terms AS (
+      SELECT user_id, cnt, angle, sr, srr,
+             cth * sn + sth * se AS sbr,
+             cth * cth * snn + 2 * cth * sth * sne + sth * sth * see
+               AS sbrr,
+             cth * snr + sth * ser AS sbrf
+      FROM ang
+    ), scored AS (
+      SELECT user_id, cnt, angle,
+             (cnt * sbrf - sbr * sr)
+               / (sqrt(cnt * sbrr - sbr * sbr)
+                  * sqrt(cnt * srr - sr * sr)) AS corr
+      FROM terms
+      WHERE cnt * sbrr - sbr * sbr > 0 AND cnt * srr - sr * sr > 0
+    )
+    SELECT user_id, angle AS best_angle, round(corr, 6) AS best_corr,
+           cnt AS n_samples
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY corr DESC, angle ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_orientation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """360-angle orientation scan (orientationCheck_metrics.py:298-368):
+    rotate the horizontal pair (error, click streams as N/E analogs)
+    through every integer azimuth and keep the angle maximizing Pearson
+    correlation with the reference stream (view). corr(N cos + E sin, ref)
+    expands in closed form over 10 per-key sums, so the WHOLE scan is
+    JVM-side: one aggregation shuffle for the sums, a 360-row angle
+    explode (map-side), and a max_by-struct argmax (map-side partial agg)
+    — zero Python on the path; the cogrouped (angles x samples) matrix-
+    product form lives in operators/spectral.py:cogroup_orientation and is
+    parity-tested against this plan. Ties break to the smaller angle on
+    both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ix = (
+        ev.where(F.col("event_type").isin("error", "click", "view"))
+        .select(
+            "user_id", "event_type", "value",
+            (F.row_number().over(w) - 1).alias("t"),
+        )
+    )
+
+    def side(evt: str, out: str) -> DataFrame:
+        return ix.where(F.col("event_type") == evt).select(
+            "user_id", "t", F.col("value").alias(out)
+        )
+
+    tri = (
+        side("error", "nv")
+        .join(side("click", "ev"), ["user_id", "t"])
+        .join(side("view", "rv"), ["user_id", "t"])
+    )
+    sums = (
+        tri.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("nv").alias("sn"),
+            F.sum("ev").alias("se"),
+            F.sum("rv").alias("sr"),
+            F.sum(F.col("nv") * F.col("nv")).alias("snn"),
+            F.sum(F.col("ev") * F.col("ev")).alias("see"),
+            F.sum(F.col("nv") * F.col("ev")).alias("sne"),
+            F.sum(F.col("nv") * F.col("rv")).alias("snr"),
+            F.sum(F.col("ev") * F.col("rv")).alias("ser"),
+            F.sum(F.col("rv") * F.col("rv")).alias("srr"),
+        )
+        .where(F.col("cnt") >= 8)
+    )
+    ang = sums.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(359).cast("bigint"))
+        ).alias("angle"),
+    )
+    cth, sth = F.cos(F.radians("angle")), F.sin(F.radians("angle"))
+    sbr = cth * F.col("sn") + sth * F.col("se")
+    sbrr = (
+        cth * cth * F.col("snn")
+        + F.lit(2) * cth * sth * F.col("sne")
+        + sth * sth * F.col("see")
+    )
+    sbrf = cth * F.col("snr") + sth * F.col("ser")
+    den_a = F.col("cnt") * sbrr - sbr * sbr
+    den_b = F.col("cnt") * F.col("srr") - F.col("sr") * F.col("sr")
+    corr = (F.col("cnt") * sbrf - sbr * F.col("sr")) / (
+        F.sqrt(den_a) * F.sqrt(den_b)
+    )
+    scored = ang.where((den_a > 0) & (den_b > 0)).select(
+        "user_id", "cnt", "angle", corr.alias("corr")
+    )
+    best = scored.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("corr"), (-F.col("angle")).alias("na"), F.col("cnt")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        (-F.col("b.na")).alias("best_angle"),
+        r6(F.col("b.corr")).alias("best_corr"),
+        F.col("b.cnt").alias("n_samples"),
+    )
+
+
+@qdef(
+    "psd_windows",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch(ts) AS tsec, value FROM events
+    ), tr AS (
+      SELECT user_id, event_type,
+             min(tsec) AS t0, max(tsec) AS t1, count(*) AS n
+      FROM ev GROUP BY user_id, event_type HAVING count(*) >= 2
+    ), bands AS (
+      SELECT *, CASE
+               WHEN event_type IN ('click', 'error') THEN 172800.0
+               WHEN event_type IN ('purchase', 'view') THEN 345600.0
+               ELSE 691200.0 END AS wlen
+      FROM tr
+    ), wins AS (
+      SELECT user_id, event_type, wlen, t0, t1, n,
+             unnest(range(0,
+               CAST(floor((t1 - t0 - wlen) / (wlen / 2.0)) AS BIGINT) + 1))
+               AS widx
+      FROM bands WHERE t1 - t0 >= wlen
+    ), win2 AS (
+      SELECT *, t0 + widx * wlen / 2.0 AS ws FROM wins
+    ), agg AS (
+      SELECT w.user_id, w.event_type, w.widx, w.ws, w.wlen,
+             any_value(w.n) AS n_tr, any_value(w.t0) AS t0,
+             any_value(w.t1) AS t1,
+             count(*) AS n_obs, avg(ev.value) AS vmean
+      FROM win2 w JOIN ev
+        ON ev.user_id = w.user_id AND ev.event_type = w.event_type
+       AND ev.tsec >= w.ws AND ev.tsec < w.ws + wlen
+      GROUP BY w.user_id, w.event_type, w.widx, w.ws, w.wlen
+    )
+    SELECT user_id, event_type, widx,
+           round(ws, 6) AS win_start, n_obs,
+           round(vmean, 6) AS mean_value,
+           round(n_obs * ((t1 - t0) / (n_tr - 1)) / wlen, 6) AS coverage
+    FROM agg
+    WHERE n_obs * ((t1 - t0) / (n_tr - 1)) / wlen >= 0.99
+    """,
+)
+def q_psd_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSD windowing policy (IRISSeismic/R/spectralUtils.R:395-461):
+    band-dependent window length (here keyed by event_type, the channel
+    band-code analog), 50% overlap, and the >=99% coverage rule (:437) —
+    a window is kept only when observed samples cover >=99% of the
+    window at the trace's nominal spacing (span/(n-1)). Windows generate
+    relationally (sequence + explode off the per-trace extent aggregate,
+    no Python); window aggregates (count, mean) feed from an equi-join on
+    the trace key with the range condition as a residual filter — the
+    windows side is trace-count-sized (a dimension even at 10^12 events),
+    never the fact side."""
+    # events.ts is TIMESTAMP_NTZ; session TZ is UTC, so the cast to
+    # TIMESTAMP is value-preserving and epoch seconds match DuckDB epoch().
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
+            "tsec"
+        ),
+        "value",
+    )
+    tr = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min("tsec").alias("t0"),
+            F.max("tsec").alias("t1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    wlen = (
+        F.when(F.col("event_type").isin("click", "error"), 172800.0)
+        .when(F.col("event_type").isin("purchase", "view"), 345600.0)
+        .otherwise(691200.0)
+    )
+    bands = tr.withColumn("wlen", wlen).where(
+        F.col("t1") - F.col("t0") >= F.col("wlen")
+    )
+    nwin_last = F.floor(
+        (F.col("t1") - F.col("t0") - F.col("wlen")) / (F.col("wlen") / 2.0)
+    )
+    wins = bands.select(
+        "user_id", "event_type", "wlen", "t0", "t1", "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), nwin_last)
+        ).alias("widx"),
+    ).withColumn(
+        "ws", F.col("t0") + F.col("widx") * F.col("wlen") / 2.0
+    )
+    w, e = wins.alias("w"), ev.alias("e")
+    joined = w.join(
+        e,
+        (F.col("w.user_id") == F.col("e.user_id"))
+        & (F.col("w.event_type") == F.col("e.event_type"))
+        & (F.col("e.tsec") >= F.col("w.ws"))
+        & (F.col("e.tsec") < F.col("w.ws") + F.col("w.wlen")),
+    )
+    agg = joined.groupBy(
+        F.col("w.user_id").alias("user_id"),
+        F.col("w.event_type").alias("event_type"),
+        F.col("w.widx").alias("widx"),
+        F.col("w.ws").alias("ws"),
+        F.col("w.wlen").alias("wlen"),
+    ).agg(
+        F.any_value(F.col("w.n")).alias("n_tr"),
+        F.any_value(F.col("w.t0")).alias("t0"),
+        F.any_value(F.col("w.t1")).alias("t1"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg(F.col("e.value")).alias("vmean"),
+    )
+    coverage = (
+        F.col("n_obs")
+        * ((F.col("t1") - F.col("t0")) / (F.col("n_tr") - 1))
+        / F.col("wlen")
+    )
+    return agg.where(coverage >= 0.99).select(
+        "user_id",
+        "event_type",
+        "widx",
+        r6("ws").alias("win_start"),
+        "n_obs",
+        r6("vmean").alias("mean_value"),
+        r6(coverage).alias("coverage"),
+    )
+
+
+_LSH_VERIFY_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [array_to_string(words[i:i+2], ' ')
+              for i in range(1, len(words) - 1)] AS grams
+      FROM w WHERE len(words) >= 3
+    ), sig AS (
+      SELECT doc_id, {mh_cols} FROM g
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    ), ws AS (
+      SELECT doc_id, list_distinct(words) AS ws FROM w
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                 / (len(a.ws) + len(b.ws)
+                    - len(list_filter(a.ws, x -> list_contains(b.ws, x)))),
+                 6) AS jaccard
+    FROM cand c
+    JOIN ws a ON a.doc_id = c.doc_a
+    JOIN ws b ON b.doc_id = c.doc_b
+"""
+
+
+@qdef(
+    "lsh_jaccard_verify",
+    _LSH_VERIFY_ORACLE.format(mh_cols=_minhash_sql_cols()),
+)
+def q_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-fed verify chain: MinHash band buckets generate the pair
+    set (`_band_candidates` — shuffle carries band keys, never documents),
+    and the SAME word-set Jaccard kernel that `jaccard_pairs` runs over
+    its quadratic block join scores ONLY those candidates
+    (`_jaccard_verify`). This is the production wiring for the verify
+    stage at corpus scale: pair count is bounded by bucket collisions, not
+    block sizes, and the kernel's values are identical to the standalone
+    form for every surfaced pair."""
+    cand = _band_candidates(_minhash_sig(spark, sf_dir))
+    words = _word_sets(spark, sf_dir).select("doc_id", "ws")
+    return _jaccard_verify(cand, words)
+
+
+# ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
 
@@ -3105,11 +3595,10 @@ def q_pivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY: list[str] = [
     # round-3 additions (no driver row yet)
     "welch_coherence",
+    "welch_collected",
     "orientation_scan",
     "psd_windows",
-    "merge_sql_text",
     "lsh_jaccard_verify",
-    "geohash_radius",
     # registered after the r02 cut (judge-verified only, never driver-green)
     "asof_join",
     "chunk_dedup",
