@@ -1,0 +1,175 @@
+"""Table-format catalog integration: MERGE INTO generation + runtime probe.
+
+The reference's metric store is an upsert keyed (target, start, end): rerun
+a day and rows overwrite, never duplicate (SQLite upsert,
+ispaq/utils.py:157-272). On a lakehouse that contract is Iceberg/Delta
+`MERGE INTO`. This container ships NEITHER runtime — `probe_table_catalog`
+records exactly why (no iceberg/delta jars under pyspark's jars dir, and
+the local DuckDB 1.0.0 predates its MERGE support) — so the catalog path
+here is:
+
+  * `merge_into_sql` — generate the MERGE statement an Iceberg/Delta
+    catalog executes. The text is validated against Spark's own SQL parser
+    in tests (parsePlan accepts it without needing a catalog), so the day
+    a catalog jar is on the classpath, `CatalogMergeSink` runs unchanged.
+  * `dataframe_merge` — the engine-agnostic semantics twin (target rows
+    whose key is absent from the batch + the whole batch), the same
+    shape `run_resumable`'s partition overwrite implements at day grain
+    and the `merge_upsert` driver query proves cross-engine.
+  * `CatalogMergeSink` — MetricSink backend that executes the generated
+    MERGE via spark.sql against a configured catalog table and keeps
+    snapshot fingerprints in a table property. Constructing it without a
+    catalog raises with the probe's reason (no silent fallback).
+
+tests/test_catalog_merge.py proves: generated SQL parses under Spark;
+dataframe_merge == a DELETE+INSERT upsert transaction run by a second
+engine (DuckDB) on the same rows; and a rerun of the same batch is a
+no-op (no duplicates) — the reference's idempotency contract.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sinks import MetricSink
+
+
+def probe_table_catalog() -> dict:
+    """Report which lakehouse runtimes this environment can actually run.
+
+    Looks for iceberg-spark-runtime / delta-spark jars on pyspark's jar
+    path (the only classpath a local[*] session loads without extra
+    --packages, which would need network access this sandbox lacks)."""
+    import pyspark
+
+    jar_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    jars = [os.path.basename(p) for p in glob.glob(f"{jar_dir}/*.jar")]
+    found = {
+        "iceberg": [j for j in jars if "iceberg" in j.lower()],
+        "delta": [j for j in jars if "delta" in j.lower()],
+    }
+    return {
+        "jar_dir": jar_dir,
+        "iceberg": bool(found["iceberg"]),
+        "delta": bool(found["delta"]),
+        "jars": {k: v for k, v in found.items() if v},
+        "reason": (
+            None
+            if found["iceberg"] or found["delta"]
+            else "no iceberg/delta runtime jar on the pyspark classpath"
+        ),
+    }
+
+
+def merge_into_sql(
+    target: str,
+    source: str,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> str:
+    """MERGE INTO text for the (target, start, end)-keyed metric upsert.
+
+    `source` is a view/subquery name already registered in the session
+    (e.g. createOrReplaceTempView of the new batch). Matched keys update
+    every value column; unmatched keys insert — rerunning the same batch
+    is a no-op, the reference's idempotency contract
+    (ispaq/utils.py:157-272)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
+    cols = ", ".join(key_cols + value_cols)
+    vals = ", ".join(f"s.{c}" for c in key_cols + value_cols)
+    return (
+        f"MERGE INTO {target} t\n"
+        f"USING {source} s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def dataframe_merge(
+    target: DataFrame, batch: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Engine-agnostic MERGE semantics: rows of `target` whose key is NOT
+    in the batch, plus the whole batch. The batch must be key-unique
+    (MERGE itself requires at most one source row per target row). One
+    broadcast-able anti-join at metric-batch sizes; at fact scale the
+    catalog executes this as MERGE INTO with partition pruning instead."""
+    return target.join(
+        batch.select(key_cols), on=key_cols, how="left_anti"
+    ).unionByName(batch)
+
+
+class CatalogMergeSink(MetricSink):
+    """MetricSink over a real catalog table via generated MERGE INTO.
+
+    Requires an Iceberg/Delta-enabled SparkSession; constructing one in an
+    environment whose probe finds no runtime raises immediately with the
+    reason — the resume logic must never silently run against nothing."""
+
+    SNAPSHOT_PROP = "ispaq.fingerprints"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        key_cols: list[str] | None = None,
+    ):
+        probe = probe_table_catalog()
+        if not (probe["iceberg"] or probe["delta"]):
+            raise RuntimeError(
+                f"no table-format runtime available: {probe['reason']} "
+                f"(probed {probe['jar_dir']})"
+            )
+        self.spark = spark
+        self.table = table
+        self.key_cols = key_cols or ["target", "start", "end"]
+
+    def merge(self, metrics: DataFrame) -> None:
+        value_cols = [
+            c for c in metrics.columns if c not in self.key_cols
+        ]
+        metrics.createOrReplaceTempView("_ispaq_merge_batch")
+        self.spark.sql(
+            merge_into_sql(
+                self.table,
+                "_ispaq_merge_batch",
+                self.key_cols,
+                value_cols,
+            )
+        )
+
+    def read_snapshot(self) -> dict[str, str]:
+        import json
+
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.table}"
+        ).collect()
+        for r in rows:
+            if r["key"] == self.SNAPSHOT_PROP:
+                return json.loads(r["value"])
+        return {}
+
+    def commit_snapshot(self, fingerprints: dict[str, str]) -> None:
+        import json
+
+        payload = json.dumps(fingerprints, sort_keys=True).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
+            f"('{self.SNAPSHOT_PROP}' = '{payload}')"
+        )
+
+    def partition_complete(self, ds: str) -> bool:
+        # Catalog merges are atomic per commit; a committed snapshot row
+        # implies the data landed (no partial-partition crash window).
+        return (
+            self.spark.table(self.table)
+            .where(F.col("ds") == ds)
+            .limit(1)
+            .count()
+            > 0
+        )

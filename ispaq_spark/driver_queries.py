@@ -1601,9 +1601,7 @@ def q_epoch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@qdef(
-    "geo_radius",
-    """
+_GEO_RADIUS_ORACLE = """
     WITH s AS (
       SELECT s_suppkey,
              (s_suppkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
@@ -1622,14 +1620,25 @@ def q_epoch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            + cos(radians(s.lat)) * cos(radians(c.lat))
              * cos(radians(s.lon - c.lon)))))) <= 20.0
     GROUP BY s.s_suppkey
-    """,
-)
+    """
+
+
+@qdef("geo_radius", _GEO_RADIUS_ORACLE)
 def q_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events ⋈ availability geo-radius theta join (ispaq/concierge.py:
     954-980: stations within [minradius,maxradius] degrees of the epicenter;
-    callers SNR_metrics.py:106-108). Both sides are dimension-sized, so the
-    broadcast nested-loop join with a great-circle predicate is the right
-    plan; coordinates are derived deterministically from the keys."""
+    callers SNR_metrics.py:106-108). Coordinates are derived
+    deterministically from the keys.
+
+    SIZE CONTRACT: this form is a deliberate broadcast nested-loop and is
+    correct ONLY while BOTH sides are dimension-sized (station/epicenter
+    catalogs — thousands to low millions of rows; the broadcast side must
+    fit the autoBroadcastJoinThreshold). It must never be pointed at a
+    fact table: the NLJ evaluates every pair. The fact-scale form is
+    `geo_radius_banded` below — a lat-band equi-join with the same
+    results — and a plan gate (tests/test_plans.py) pins this one to
+    BroadcastNestedLoopJoin so a silent fallback to a cartesian product
+    can't land."""
     sup = t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.col("s_suppkey") * 7919 % 18000) / 100.0 - 90.0).alias("slat"),
@@ -1662,6 +1671,67 @@ def q_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(sup)
         .join(cust, cond)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_within"))
+    )
+
+
+@qdef("geo_radius_banded", _GEO_RADIUS_ORACLE)
+def q_geo_radius_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-scale form of `geo_radius`: the same great-circle radius query
+    (ispaq/concierge.py:954-980) expressed as a latitude-band EQUI-join so
+    neither side needs to broadcast and no pair outside adjacent bands is
+    ever materialized.
+
+    A central angle <= R degrees requires |Δlat| <= R, so with band width
+    R=20° a matching pair's bands differ by at most 1. Each "station" row
+    is exploded to its 3 candidate bands (3× a dimension-or-fact table —
+    bounded, map-side), then an equi-join on the band key shuffles both
+    sides by band and the exact great-circle predicate filters within each
+    band. The plan is a plain shuffled equi-join + partial-agg count:
+    survives both sides fact-sized, and AQE can skew-split hot bands
+    (equatorial pileups). Shares `geo_radius`'s oracle — identical output.
+    """
+    band = F.lit(20.0)
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919 % 18000) / 100.0 - 90.0).alias("slat"),
+        ((F.col("s_suppkey") * 104729 % 36000) / 100.0 - 180.0).alias("slon"),
+    )
+    sup = sup.select(
+        "*",
+        F.explode(
+            F.array(
+                F.floor(F.col("slat") / band) - 1,
+                F.floor(F.col("slat") / band),
+                F.floor(F.col("slat") / band) + 1,
+            )
+        ).alias("band"),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0).alias("clat"),
+        ((F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0).alias("clon"),
+    )
+    cust = cust.withColumn("band", F.floor(F.col("clat") / band))
+    central = F.degrees(
+        F.acos(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(-1.0),
+                    F.sin(F.radians("slat")) * F.sin(F.radians("clat"))
+                    + F.cos(F.radians("slat"))
+                    * F.cos(F.radians("clat"))
+                    * F.cos(F.radians(F.col("slon") - F.col("clon"))),
+                ),
+            )
+        )
+    )
+    return (
+        sup.hint("shuffle_hash")
+        .join(cust, "band")
+        .where((F.abs(F.col("slat") - F.col("clat")) <= band) & (central <= band))
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_within"))
     )
@@ -3599,6 +3669,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orientation_scan",
     "psd_windows",
     "lsh_jaccard_verify",
+    "geo_radius_banded",
     # registered after the r02 cut (judge-verified only, never driver-green)
     "asof_join",
     "chunk_dedup",

@@ -194,3 +194,23 @@ def test_pivot_single_aggregation_no_extra_job(spark):
     assert plan.count("HashAggregate") == 2
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_geo_radius_stays_broadcast_nlj(spark):
+    """geo_radius is a deliberate broadcast nested-loop over two
+    dimension-sized sides (docstring SIZE CONTRACT). A silent fallback to
+    a non-broadcast cartesian product is the failure mode this pins out;
+    the fact-scale path is geo_radius_banded."""
+    plan = plan_of(dq.queries()["geo_radius"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_radius_banded_is_equi_join(spark):
+    """The fact-scale geo query must plan as a band-key EQUI-join (shuffle
+    or broadcast hash) — no nested loop, no cartesian — so it survives
+    both sides fact-sized."""
+    plan = plan_of(dq.queries()["geo_radius_banded"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
