@@ -6,8 +6,13 @@ queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR, on
 local[$SPARK_GRAFT_CPUS]. Every query is forced with a noop-format write
 (full computation, no driver collect).
 
+Every timing is a min-of-N (N=5 pipeline, 3 elsewhere) with a per-query
+spread (max-min) column: this VM shows 2-4x whole-box bimodal slowdowns
+(BENCH/BASELINE.md), so single samples cannot show regressions.
+
 Output: {"metric": "total_bench_sec", "value": N, "unit": "sec",
-         "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+         "queries": {...per-query min sec...}, "spread": {...max-min...},
+         "sf": ..., "docs_per_sec": ...}
 """
 
 from __future__ import annotations
@@ -145,13 +150,22 @@ def main() -> None:
     # (measured: 39s first full pass vs 5-7s steady-state at 60k docs).
     force(run_pipeline(spark, pages, model=model))
 
-    def min_of(reps: int, fn) -> float:
-        best = float("inf")
+    spreads: dict[str, float] = {}
+
+    def timed(reps: int, fn) -> tuple[float, float]:
+        """(min, max-min) over `reps` runs. The min is the timing; the
+        spread is the variance column — under this VM's documented 2-4x
+        whole-box bimodality a single sample per query cannot distinguish
+        a regression from box noise (BENCH/BASELINE.md variance note)."""
+        samples = []
         for _ in range(reps):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        return best
+            samples.append(time.time() - t0)
+        return min(samples), max(samples) - min(samples)
+
+    def min_of(reps: int, fn) -> float:
+        return timed(reps, fn)[0]
 
     # min-of-5 reps (the scaling-harness protocol, widened): a single rep
     # at this corpus size is ~70% fixed per-job overhead + variance and
@@ -160,10 +174,11 @@ def main() -> None:
     # hour apart — see "Single-box variance" in BENCH/BASELINE.md), so the
     # authoritative steady-state figure is the fresh-pinned-JVM marginal
     # rate from scripts/bench_scaling.py, not this JSON's docs_per_sec.
-    pipeline_sec = min_of(
+    pipeline_sec, pipeline_spread = timed(
         5, lambda: force(run_pipeline(spark, pages, model=model))
     )
     timings["quality_pipeline"] = round(pipeline_sec, 3)
+    spreads["quality_pipeline"] = round(pipeline_spread, 3)
 
     # marginal (steady-state) docs/sec via a two-size difference quotient:
     # rate over the docs ADDED between half and full corpus, with the fixed
@@ -182,16 +197,18 @@ def main() -> None:
         else n_docs / pipeline_sec
     )
 
-    t0 = time.time()
-    force(rollup_lineage(run_pipeline(spark, pages, model=model)))
-    timings["pipeline_with_rollup"] = round(time.time() - t0, 3)
+    sec, spread = timed(
+        3, lambda: force(rollup_lineage(run_pipeline(spark, pages, model=model)))
+    )
+    timings["pipeline_with_rollup"] = round(sec, 3)
+    spreads["pipeline_with_rollup"] = round(spread, 3)
 
-    # --- operator queries at SF_DIR ---------------------------------------
+    # --- operator queries at SF_DIR: min-of-3 each ------------------------
     qs = dq.queries()
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        sec, spread = timed(3, lambda: force(qs[name](spark, SF_DIR)))
+        timings[name] = round(sec, 3)
+        spreads[name] = round(spread, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -201,6 +218,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
                 "docs_per_sec": round(n_docs / pipeline_sec, 1),
                 "docs_per_sec_marginal": round(marginal, 1),

@@ -5,11 +5,12 @@ real and tested. Decode is REAL for the numpy-expressible codecs — P6 PPM
 images, RIFF/WAVE 16-bit PCM audio, and an animated-PPM frame stream for
 video — parsed and feature-extracted with numpy alone (header parse,
 frombuffer, reshape, pooling, FFT). Compressed codecs (JPEG/PNG/H.264/MP3)
-raise NotImplementedError because their libraries are not in this
-container; in the batch path that row quarantines to nulls instead of
-failing the job (the reference's qualityFlag=-9 posture,
-ispaq/simple_metrics.py:128-140). A deterministic bytes->floats fake
-remains available for plumbing tests.
+route through a plug-in registry: PIL / soundfile are auto-detected at
+first decode inside each Python worker, and deployments can register
+their own decoders; when no decoder accepts a payload the row quarantines
+to nulls instead of failing the job (the reference's qualityFlag=-9
+posture, ispaq/simple_metrics.py:128-140). A deterministic bytes->floats
+fake remains available for plumbing tests.
 
 Graft slot: the reference's per-target auxiliary model tables (evalresp FAP
 responses fetched/computed per channel, ispaq/utils.py:558-673) — sideband
@@ -205,11 +206,127 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
+# ---------------------------------------------------------------------------
+# Optional-codec plug-in registry
+#
+# The numpy codecs above always work; compressed formats (JPEG/PNG/MP3/OGG)
+# need libraries this container lacks. Rather than hard-coding the
+# quarantine, decode routes unknown magic through a registry that is
+# populated two ways:
+#   * explicit `register_image_decoder` / `register_audio_decoder` calls
+#     (a deployment that ships its own codec wheel via --py-files), and
+#   * a one-shot probe for PIL / soundfile at first decode inside each
+#     Python worker (mapInPandas imports this module per executor worker,
+#     so presence is evaluated where the decode actually runs, not on the
+#     driver).
+# A decoder either returns the decoded value or raises ValueError /
+# NotImplementedError to pass; when every decoder passes, the row
+# quarantines to nulls exactly as before.
+# ---------------------------------------------------------------------------
+
+_IMAGE_DECODERS: list = []  # payload -> uint8 (h, w, 3)
+_AUDIO_DECODERS: list = []  # payload -> (float32 samples, rate)
+_PROBED = False
+
+
+def register_image_decoder(fn) -> None:
+    """Add a compressed-image decoder: payload -> uint8 (h, w, 3) ndarray,
+    raising ValueError/NotImplementedError on payloads it can't handle."""
+    _IMAGE_DECODERS.append(fn)
+
+
+def register_audio_decoder(fn) -> None:
+    """Add a compressed-audio decoder: payload -> (float32 mono samples in
+    [-1, 1], rate), raising ValueError/NotImplementedError to pass."""
+    _AUDIO_DECODERS.append(fn)
+
+
+def _reset_codec_registry() -> None:
+    """Test hook: clear plug-ins and re-arm the import probe."""
+    global _PROBED
+    _IMAGE_DECODERS.clear()
+    _AUDIO_DECODERS.clear()
+    _PROBED = False
+
+
+def _probe_optional_codecs() -> None:
+    """One-shot per-worker detection of PIL / soundfile."""
+    global _PROBED
+    if _PROBED:
+        return
+    _PROBED = True
+    import io
+
+    try:
+        from PIL import Image  # optional; absent from this container
+
+        def _pil_decode(payload: bytes) -> np.ndarray:
+            try:
+                img = Image.open(io.BytesIO(payload)).convert("RGB")
+            except Exception as e:  # PIL raises codec-specific errors
+                raise ValueError(f"PIL decode failed: {e}") from e
+            return np.asarray(img, dtype=np.uint8)
+
+        _IMAGE_DECODERS.append(_pil_decode)
+    except ImportError:
+        pass
+
+    try:
+        import soundfile  # optional; absent from this container
+
+        def _sf_decode(payload: bytes) -> tuple[np.ndarray, int]:
+            try:
+                data, rate = soundfile.read(
+                    io.BytesIO(payload), dtype="float32"
+                )
+            except Exception as e:
+                raise ValueError(f"soundfile decode failed: {e}") from e
+            if data.ndim > 1:
+                data = data.mean(axis=1)
+            return data.astype(np.float32), int(rate)
+
+        _AUDIO_DECODERS.append(_sf_decode)
+    except ImportError:
+        pass
+
+
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Real image decode: parses binary P6 PPM with numpy. Compressed
-    formats (JPEG/PNG magic) raise NotImplementedError — their codec
-    libraries are not in this container."""
-    return decode_ppm(payload)
+    """Real image decode: binary P6 PPM via numpy; any other magic is
+    offered to the plug-in registry (PIL when present, or explicitly
+    registered decoders). No decoder -> NotImplementedError, which the
+    batch path quarantines to nulls."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    _probe_optional_codecs()
+    for dec in _IMAGE_DECODERS:
+        try:
+            return dec(payload)
+        except (NotImplementedError, ValueError):
+            continue
+    raise NotImplementedError(
+        "not a P6 PPM and no registered codec accepts this payload; "
+        "compressed image codecs (JPEG/PNG) require libraries absent "
+        "from this container"
+    )
+
+
+def decode_audio_real(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real audio decode: RIFF/WAVE PCM16 via numpy; other containers go
+    through the plug-in registry (soundfile when present). No decoder ->
+    NotImplementedError -> quarantine."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    _probe_optional_codecs()
+    for dec in _AUDIO_DECODERS:
+        try:
+            return dec(payload)
+        except (NotImplementedError, ValueError):
+            continue
+    raise NotImplementedError(
+        "not a RIFF/WAVE payload and no registered codec accepts it; "
+        "compressed audio codecs require libraries absent from this "
+        "container"
+    )
 
 
 def image_features(
@@ -296,7 +413,7 @@ def audio_features_df(media: DataFrame) -> DataFrame:
                     rows.append((url, None, None, None, None))
                     continue
                 try:
-                    samples, rate = decode_wav(bytes(payload))
+                    samples, rate = decode_audio_real(bytes(payload))
                 except (NotImplementedError, ValueError):
                     rows.append((url, None, None, None, None))
                     continue

@@ -165,6 +165,88 @@ def test_truncated_ppm_header_raises_not_hangs():
             _parse_ppm_at(payload, 0)
 
 
+# --- optional-codec plug-in registry ---------------------------------------
+
+import sys
+import types
+
+from ispaq_spark.functions import media as media_mod
+from ispaq_spark.functions.media import (
+    decode_audio_real,
+    register_audio_decoder,
+    register_image_decoder,
+)
+
+
+@pytest.fixture
+def clean_registry():
+    media_mod._reset_codec_registry()
+    yield
+    media_mod._reset_codec_registry()
+
+
+def test_absent_codecs_quarantine(clean_registry):
+    """With no optional libraries and no registered plug-ins, compressed
+    magic raises NotImplementedError — the batch quarantine contract."""
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"ID3mp3junk")
+
+
+def test_registered_decoder_routes_compressed(clean_registry):
+    img = _img(7, 2, 2)
+
+    def fake_png(payload):
+        if payload[:4] != b"\x89PNG":
+            raise ValueError("not png")
+        return img
+
+    register_image_decoder(fake_png)
+    assert np.array_equal(decode_image_real(b"\x89PNG1234"), img)
+    # PPM still takes the native numpy path
+    ppm = _img(8, 2, 2)
+    assert np.array_equal(decode_image_real(encode_ppm(ppm)), ppm)
+    # magic no decoder accepts still quarantines
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"GIF89a..")
+
+
+def test_probe_detects_mock_pil(clean_registry, monkeypatch):
+    """Presence case: a PIL on the worker's path is auto-detected at first
+    decode and used for non-PPM payloads."""
+    img = _img(9, 3, 3)
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return img
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=lambda buf: _FakeImg())
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    assert np.array_equal(decode_image_real(b"\x89PNGwhatever"), img)
+
+
+def test_probe_detects_mock_soundfile(clean_registry, monkeypatch):
+    samples = np.linspace(-1, 1, 16, dtype=np.float32)
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda buf, dtype: (samples, 44100)
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    got, rate = decode_audio_real(b"OggSjunk")
+    assert rate == 44100 and np.allclose(got, samples)
+
+
+def test_registered_audio_decoder_passes_on_error(clean_registry):
+    """A decoder that raises ValueError passes to the next / quarantine
+    instead of failing the row hard."""
+    register_audio_decoder(
+        lambda payload: (_ for _ in ()).throw(ValueError("nope"))
+    )
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"ID3mp3junk")
+
+
 def test_truncated_wav_chunks_raise_value_error():
     # Regression: short fmt/data chunk bodies used to escape as
     # struct.error past the quarantine except-tuple (ADVICE r2).
