@@ -3654,6 +3654,198 @@ def q_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Training-mixture selection: importance resampling, canonical docs, splits
+# ===========================================================================
+
+_DSIR_B = 64  # hashed-feature buckets
+
+
+@qdef(
+    "dsir_resample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(w), 1, 8))::BIGINT) % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+            FROM documents)
+    ), dist AS (
+      SELECT bucket, count(*) AS cs,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM tok GROUP BY bucket
+    ), tot AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM dist),
+    ratio AS (
+      SELECT bucket,
+             ln((ct + 1.0) / (tt + {_DSIR_B}.0))
+           - ln((cs + 1.0) / (ts + {_DSIR_B}.0)) AS lr
+      FROM dist, tot
+    ), docw AS (
+      SELECT t.doc_id, t.lang, avg(r.lr) AS w
+      FROM tok t JOIN ratio r ON t.bucket = r.bucket
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, round(w, 6) AS dsir_weight
+    FROM docw ORDER BY round(w, 6) DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log importance ratio of a target distribution over hashed unigram
+    features vs the raw-corpus distribution, and take the top-k — the
+    mixture-selection stage that follows quality filtering in a training
+    pipeline. Target here = the English slice; features = md5-hashed
+    64-bucket unigram histogram (portable across engines); per-doc weight
+    = token-mean of per-bucket Laplace-smoothed log ratios.
+
+    Scale shape: ONE pass builds both distributions (64-row conditional
+    aggregate), the 64-row log-ratio table broadcasts back, scoring is
+    map-side + one groupBy(doc_id), and top-k is TakeOrderedAndProject
+    (no global sort). At 10^12 docs nothing here grows beyond the corpus
+    scan + one doc-keyed shuffle. Tie-break on the ROUNDED weight then
+    doc_id so the k-cutoff is deterministic cross-engine. Grafts the
+    reference's metric-threshold target subsetting
+    (ispaq/user_request.py:320-364) into a distributional criterion."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn("bucket", F.pmod(_hex_hash_spark(F.col("w")), F.lit(_DSIR_B)))
+    dist = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tot = dist.agg(F.sum("cs").alias("ts"), F.sum("ct").alias("tt"))
+    ratio = dist.crossJoin(tot).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + float(_DSIR_B)))
+            - F.log((F.col("cs") + 1.0) / (F.col("ts") + float(_DSIR_B)))
+        ).alias("lr"),
+    )
+    docw = (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("lr").alias("w"))
+    )
+    return (
+        docw.select("doc_id", "lang", r6(F.col("w")).alias("dsir_weight"))
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(100)
+    )
+
+
+@qdef(
+    "canonical_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, n_chars, str_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id, n_chars,
+             [array_to_string(words[i:i+2], ' ')
+              for i in range(1, len(words) - 1)] AS grams
+      FROM w WHERE len(words) >= 3
+    ), sig AS (
+      SELECT doc_id, n_chars, {_minhash_sql_cols()} FROM g
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY mh0, mh1, mh2, mh3
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY mh0, mh1, mh2, mh3) AS members
+      FROM sig
+    )
+    SELECT mh0, mh1, mh2, mh3, doc_id AS keep_id,
+           CAST(n_chars AS BIGINT) AS keep_chars,
+           CAST(members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: collapse each duplicate cluster
+    (keyed by the full 4-row MinHash signature — docs whose every minhash
+    agrees) to its single best member, highest n_chars with min doc_id as
+    tie-break. This is the KEEP side of dedup — `minhash_lsh_neardup`
+    finds pairs, `neardup_components` labels clusters, this picks what
+    survives into the training set.
+
+    Scale shape: one groupBy on the signature with `max_by(doc_id,
+    struct(n_chars, -doc_id))` — a single shuffle with map-side partial
+    aggregation and NO window sort (the oracle states the same row via
+    row_number, but a per-cluster argmax never needs ordering within
+    Spark). Signature keys are content hashes, so the shuffle is
+    skew-bounded by true duplicate multiplicity. Grafts the reference's
+    epoch-preference dedup (ispaq/concierge.py:1001-1005: keep one row
+    per target, preferring the most complete epoch)."""
+    d = _grams3_cols(t(spark, sf_dir, "documents"))
+
+    def mh(j: int):
+        prefix = f"{j}|"
+        return F.array_min(
+            F.transform(
+                F.col("grams"),
+                lambda s: _hex_hash_spark(F.concat(F.lit(prefix), s)),
+            )
+        ).alias(f"mh{j}")
+
+    sig = d.select(
+        "doc_id", "n_chars", *[mh(j) for j in range(_N_MINHASH)]
+    )
+    return sig.groupBy("mh0", "mh1", "mh2", "mh3").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+        ).alias("keep_id"),
+        F.max("n_chars").cast("bigint").alias("keep_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+
+
+@qdef(
+    "split_assign",
+    """
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang, n_chars,
+                   (('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT)
+                   % 100 AS b
+            FROM documents)
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY lang, split
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: a salted content hash of
+    the document id buckets 0-99, thresholds 80/90 cut the three splits,
+    and the query rolls the assignment up per (lang, split) — the
+    mixture-verification report a dataset release ships with. Hash
+    assignment (never rand()) means a document's split is a pure function
+    of its id: stable across retries, cluster sizes, and later incremental
+    ingests — late-arriving documents can't migrate anyone else's split
+    (the leakage failure mode of fraction-based randomSplit). Map-side
+    predicate + one tiny (lang x 3)-row aggregate; at 10^12 docs this is
+    scan-bound. Grafts the reference's deterministic target->day work
+    partitioning (ispaq/concierge.py:219-268)."""
+    d = t(spark, sf_dir, "documents")
+    b = F.pmod(
+        _hex_hash_spark(
+            F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    d = d.withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+    )
+    return d.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
 
@@ -3664,6 +3856,9 @@ def q_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # certified row across rounds; the r01/r02-certified ones fill the rest.
 _DRIVER_PRIORITY: list[str] = [
     # round-3 additions (no driver row yet)
+    "dsir_resample",
+    "canonical_docs",
+    "split_assign",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",

@@ -63,6 +63,38 @@ def streaming_rollup(metrics: DataFrame) -> DataFrame:
     )
 
 
+def run_rollup_stream_once(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "ds string, keep boolean, quality_flag int",
+):
+    """Drain available metrics files through the WATERMARKED daily rollup
+    into an exactly-once parquet file sink, then stop. Repeated calls with
+    the same checkpoint resume the watermark where the last drain left it,
+    so this is the restart loop of a production rollup job: rows later
+    than the checkpointed watermark are dropped from their (already
+    finalized) windows, and a window's row is emitted exactly once, in the
+    first batch whose watermark passes the window end."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    q = (
+        streaming_rollup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
 def run_stream_once(
     spark: SparkSession,
     source_dir: str,

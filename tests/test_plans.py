@@ -214,3 +214,33 @@ def test_geo_radius_banded_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dsir_scoring_join_is_broadcast_topk_not_sort(spark):
+    """dsir_resample: the 64-row log-ratio table must broadcast back onto
+    the token stream (a shuffled join would repartition the whole corpus
+    by bucket), and the top-k must be TakeOrderedAndProject, never a
+    global Sort of every document's weight."""
+    plan = plan_of(dq.queries()["dsir_resample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_canonical_docs_single_agg_no_window(spark):
+    """canonical_docs picks the per-cluster representative via
+    max_by(struct) partial aggregation — one signature-keyed exchange, no
+    window sort, no join (the oracle's row_number form is for DuckDB
+    only; windows force a per-cluster sort a 10^12-doc dedup can't pay)."""
+    plan = plan_of(dq.queries()["canonical_docs"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_split_assign_map_side_only(spark):
+    """split_assign is a pure map-side hash predicate + tiny rollup: one
+    exchange for the (lang, split) aggregate, no join, no window."""
+    plan = plan_of(dq.queries()["split_assign"](spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1
