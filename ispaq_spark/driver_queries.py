@@ -3845,6 +3845,58 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN {_dot_sql('v', p)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(LSH_PLANES)
+    )
+
+
+@qdef(
+    "lsh_cosine_verify",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), bk AS (
+      SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 6) AS cos
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.30
+    """,
+)
+def q_lsh_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-fed COSINE verify chain — the embedding analog of
+    `lsh_jaccard_verify`: sign-LSH buckets (the same 8 deterministic
+    hyperplanes as `ann_lsh_buckets`) generate candidate pairs via a
+    bucket equi-join, and the pluggable `_cosine_verify` kernel scores
+    ONLY those candidates with exact cosine >= 0.30. This is the
+    production wiring that replaces `cosine_neardup`'s quadratic label
+    blocks at corpus scale: the shuffle carries (bucket, vec_id, vector)
+    and pair count is bounded by bucket collisions (2^8 buckets split the
+    sphere into orthants), not block sizes. Recall is tunable by probing
+    neighbor buckets (Hamming-1 on the bucket id) exactly as `ivf_topk`
+    probes second cells."""
+    e = _normed_vectors(spark, sf_dir)
+    bucket = F.lit(0)
+    for j, p in enumerate(LSH_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with("v", plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    bk = e.select("vec_id", bucket.alias("bucket"))
+    a = bk.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), "bucket")
+    cand = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b"
+    )
+    return _cosine_verify(cand, e.select("vec_id", "v", "nrm"), 0.30)
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -3859,6 +3911,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dsir_resample",
     "canonical_docs",
     "split_assign",
+    "lsh_cosine_verify",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",
