@@ -3897,6 +3897,179 @@ def q_lsh_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_verify(cand, e.select("vec_id", "v", "nrm"), 0.30)
 
 
+@qdef(
+    "pmi_bigrams",
+    """
+    WITH w AS (
+      SELECT str_split(text, ' ') AS words FROM documents
+    ), bg AS (
+      SELECT unnest([words[i] || ' ' || words[i+1]
+                     for i in range(1, len(words))]) AS bigram
+      FROM w WHERE len(words) >= 2
+    ), uni AS (
+      SELECT unnest(words) AS w FROM w
+    ), bc AS (
+      SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram
+    ), uc AS (
+      SELECT w, count(*) AS c FROM uni GROUP BY w
+    ), nb AS (SELECT sum(c_ab) AS n_b FROM bc),
+    nu AS (SELECT sum(c) AS n_u FROM uc),
+    scored AS (
+      SELECT bc.bigram, bc.c_ab,
+             ln(bc.c_ab / nb.n_b) - ln(ua.c / nu.n_u) - ln(ub.c / nu.n_u)
+               AS pmi
+      FROM bc, nb, nu
+      JOIN uc ua ON ua.w = str_split(bc.bigram, ' ')[1]
+      JOIN uc ub ON ub.w = str_split(bc.bigram, ' ')[2]
+      WHERE bc.c_ab >= 5
+    )
+    SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, round(pmi, 6) AS pmi
+    FROM scored ORDER BY round(pmi, 6) DESC, bigram LIMIT 50
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by pointwise mutual information
+    ln p(ab) - ln p(a) - ln p(b), minimum support 5 — the vocabulary/
+    tokenizer-analysis primitive (which word pairs behave as one token).
+    Companion to `vocab_topk` in the tokenizer-training family.
+
+    Scale shape: bigram generation is map-side (slice over the token
+    array); bigram and unigram counts are each ONE map-side-combined
+    aggregate whose output is vocab-sized (Zipf-sublinear in corpus
+    size), so the two count joins broadcast; totals are single rows; the
+    top-k is TakeOrderedAndProject. If vocab ever outgrows broadcast the
+    joins degrade gracefully to shuffle-hash on the word key. Tie-break
+    on the rounded PMI then bigram text keeps the k-cutoff deterministic
+    cross-engine. Grafts the reference's channel-pair metric family
+    (correlationMetric.R pairwise statistics) onto the text layer."""
+    d = t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split("text", " "))
+    toks = F.col("toks")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    bg = d.where(n >= 2).select(F.explode(bigrams).alias("bigram"))
+    uni = d.select(F.explode(toks).alias("w"))
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nb = bc.agg(F.sum("c_ab").alias("n_b"))
+    nu = uc.agg(F.sum("c").alias("n_u"))
+    parts = F.split("bigram", " ")
+    scored = (
+        bc.where(F.col("c_ab") >= 5)
+        .withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("wa"), F.col("c").alias("ca"))),
+            "wa",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("wb"), F.col("c").alias("cb"))),
+            "wb",
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "bigram",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            r6(
+                F.log(F.col("c_ab") / F.col("n_b"))
+                - F.log(F.col("ca") / F.col("n_u"))
+                - F.log(F.col("cb") / F.col("n_u"))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(50)
+
+
+@qdef(
+    "adaptive_quality_cut",
+    """
+    WITH th AS (
+      SELECT lang, quantile_cont(n_chars, 0.75) AS cut
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, round(th.cut, 6) AS cut,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN d.n_chars >= th.cut THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM documents d JOIN th ON d.lang = th.lang
+    GROUP BY d.lang, th.cut
+    """,
+)
+def q_adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-stratum thresholding: instead of a fixed global quality
+    bar (which over-prunes low-resource languages — the Gopher-rule
+    failure mode), the cut is each language's OWN 75th percentile, computed
+    exactly, broadcast back, and applied map-side. Two passes over the
+    stratum column: one exact-percentile aggregate (|langs| rows) and one
+    conditional count against the broadcast threshold — no row ever
+    shuffles on anything but the lang key. The same shape serves any
+    quantile-calibrated filter (perplexity cut per domain, length cut per
+    source). Grafts the reference's per-channel-type threshold tables
+    (ispaq/concierge.py metric thresholds resolved per target class)."""
+    d = t(spark, sf_dir, "documents")
+    th = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.75)).alias("cut")
+    )
+    return (
+        d.join(F.broadcast(th), "lang")
+        .groupBy("lang", "cut")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("n_chars") >= F.col("cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .select("lang", r6(F.col("cut")).alias("cut"), "n_total", "n_kept")
+    )
+
+
+@qdef(
+    "source_overlap",
+    """
+    WITH h AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS chash
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM h a JOIN h b ON a.chash = b.chash AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit: for every source pair, how many
+    document prefixes (md5 of the first 8 words — cross-crawl duplicates
+    share openings but diverge in trailing boilerplate, so prefix
+    fingerprints catch what whole-text hashes miss) appear in BOTH — the
+    dataset-composition matrix that decides which crawl snapshots are
+    worth keeping. The join key is the fingerprint, so the self-join is a
+    plain hash equi-join whose width is bounded by true duplicate
+    multiplicity (after the per-source DISTINCT, a fingerprint appears
+    once per source that carries it); no text ever shuffles. Grafts the
+    reference's cross-SNCL coverage comparison (availability
+    intersections, ispaq/concierge.py:954-1005)."""
+    d = t(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias(
+            "chash"
+        ),
+    ).distinct()
+    a = h.select(F.col("source").alias("source_a"), "chash")
+    b = h.select(F.col("source").alias("source_b"), "chash")
+    return (
+        a.join(b, "chash")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -3912,6 +4085,9 @@ _DRIVER_PRIORITY: list[str] = [
     "canonical_docs",
     "split_assign",
     "lsh_cosine_verify",
+    "pmi_bigrams",
+    "adaptive_quality_cut",
+    "source_overlap",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",

@@ -244,3 +244,29 @@ def test_split_assign_map_side_only(spark):
     plan = plan_of(dq.queries()["split_assign"](spark, SF_DIR))
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_pmi_joins_broadcast_topk_not_sort(spark):
+    """pmi_bigrams: vocab-sized count tables must broadcast onto the
+    bigram counts, and the top-k must be TakeOrderedAndProject — a global
+    Sort of all bigrams or a shuffled vocab join is the scale failure."""
+    plan = plan_of(dq.queries()["pmi_bigrams"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_adaptive_cut_threshold_broadcast(spark):
+    """adaptive_quality_cut: the per-lang percentile table is |langs| rows
+    and must broadcast back; the corpus shuffles only on the lang key."""
+    plan = plan_of(dq.queries()["adaptive_quality_cut"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_overlap_hash_equi_join(spark):
+    """source_overlap: fingerprint self-join must be a hash equi-join on
+    the content hash — never nested-loop/cartesian."""
+    plan = plan_of(dq.queries()["source_overlap"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
