@@ -80,6 +80,20 @@ BENCH_QUERIES = (
     "udaf_trimmed_mean",
     "decontaminate",
     "pack_sequences",
+    # round-3 additions
+    "welch_collected",
+    "orientation_scan",
+    "psd_windows",
+    "lsh_jaccard_verify",
+    "lsh_cosine_verify",
+    "geo_radius_banded",
+    "dsir_resample",
+    "canonical_docs",
+    "split_assign",
+    "pmi_bigrams",
+    "adaptive_quality_cut",
+    "source_overlap",
+    "domain_cap",
 )
 
 

@@ -4070,6 +4070,60 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "domain_cap",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (('0x' || substr(md5('cap|' || doc_id), 1, 8))
+                         ::BIGINT), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn <= 60 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM r GROUP BY source
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (the C4/Gopher anti-skew curation rule: no
+    host may contribute more than CAP documents): rank each source's docs
+    by a salted content hash — a deterministic shuffle-free lottery, so
+    the surviving set is reproducible across retries and identical on any
+    cluster size — and keep the first 60. kept_chars proves the SELECTION
+    matches cross-engine, not just the counts.
+
+    Scale shape: one shuffle on source + per-group rank. Each window
+    group sorts independently, so the cost is the largest domain's doc
+    count; for pathological whole-corpus-in-one-domain skew the rank-free
+    fallback is `stratified_sample`'s hash-threshold gate (keep iff
+    bucket < cap/|domain| x 100), which trades exact quota for zero
+    sort. Grafts the reference's per-target work quota (concierge chunked
+    day processing, ispaq/concierge.py:219-268)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        _hex_hash_spark(
+            F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))
+        ),
+        "doc_id",
+    )
+    r = d.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rn") <= 60, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= 60, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -4088,6 +4142,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pmi_bigrams",
     "adaptive_quality_cut",
     "source_overlap",
+    "domain_cap",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",

@@ -246,7 +246,10 @@ def resolve(names: tuple[str, ...] | str) -> list[MetricSet]:
     dependency resolution (a required column already provided by an earlier
     set — e.g. perplexity from the fused stage — pulls no extra provider)."""
     if isinstance(names, str):
-        names = ALIASES.get(names, (names,))
+        names = (names,)
+    # expand aliases per-name so ("default",) from a parsed request behaves
+    # like the bare string "default" (the CLI path stores tuples)
+    names = tuple(n2 for n in names for n2 in ALIASES.get(n, (n,)))
     ordered: list[str] = []
     provided: set[str] = set(INPUT_COLS)
 
