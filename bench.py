@@ -94,6 +94,9 @@ BENCH_QUERIES = (
     "adaptive_quality_cut",
     "source_overlap",
     "domain_cap",
+    "inverted_index",
+    "semdedup",
+    "bpe_pair_counts",
 )
 
 

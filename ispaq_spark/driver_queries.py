@@ -4124,6 +4124,249 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "inverted_index",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(str_split(text, ' '),
+                                              w -> len(w) > 0))) AS token
+      FROM documents
+    ), r AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM tok
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 20)),
+                           ',') AS postings
+    FROM r GROUP BY token
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency + a capped,
+    id-ordered posting list (first 20 doc_ids) — the materialization stage
+    of a retrieval index, complementing `bm25_rank` (which scores without
+    ever building postings). Postings are emitted as a joined string so
+    the cross-engine value hash is representation-stable.
+
+    Scale shape: per-doc tokenize+distinct is in-row (explode of
+    array_distinct — no pre-shuffle blowup from repeated tokens); then ONE
+    hash exchange on token feeds both the rank-window and the final
+    aggregate (same key → Catalyst reuses the partitioning, no second
+    exchange). The row_number cap bounds what collect_list materializes
+    per token — a stop-word token at 10^12 docs contributes 20 ids, not a
+    multi-GB list; df still counts every posting. Grafts the reference's
+    metric-store index tables (ispaq/utils.py:157-272) lifted from
+    metadata keys to content tokens."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+            )
+        ).alias("token"),
+    )
+    rn = F.row_number().over(Window.partitionBy("token").orderBy("doc_id"))
+    r = toks.withColumn("rn", rn)
+    return r.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.when(F.col("rn") <= 20, F.col("doc_id")))
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def _vdot(a, b) -> F.Column:
+    """Dot product of two array<double> columns, all-JVM (zip_with +
+    aggregate fold — no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SEMDEDUP_K = 8
+# Pairwise cosines in the synthetic embeddings top out at ~0.51 (the
+# fixture has no planted near-dups), so the "duplicate" bar is scaled to
+# the fixture's own tail; production would run 0.9+.
+_SEMDEDUP_TAU = 0.35
+
+
+@qdef(
+    "semdedup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+    ), a0 AS (
+      SELECT vec_id, cid,
+             round(list_cosine_similarity(v, cv), 6) AS cos
+      FROM e, c
+    ), a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM a0) WHERE rn = 1
+    ), av AS (
+      SELECT a.vec_id, a.cid, e.v FROM a JOIN e USING (vec_id)
+    ), p AS (
+      SELECT x.cid, y.vec_id AS dropped
+      FROM av x JOIN av y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {_SEMDEDUP_TAU}
+    ), nv AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM a GROUP BY cid
+    ), nd AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT dropped) AS BIGINT) AS n_dropped
+      FROM p GROUP BY cid
+    )
+    SELECT nv.cid, nv.n_vecs,
+           COALESCE(nd.n_pairs, 0)::BIGINT AS n_pairs,
+           COALESCE(nd.n_dropped, 0)::BIGINT AS n_dropped
+    FROM nv LEFT JOIN nd ON nv.cid = nd.cid
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): assign every embedding to its nearest
+    of k deterministic centroids (here: the k lowest-vec_id vectors, so
+    both engines agree without an iterative trainer — `operators/kmeans.py`
+    is the production centroid source), then mark within-cluster pairs with
+    cosine >= tau and drop the higher id of each pair. Reports per-cluster
+    vector/pair/dropped counts; cosines rounded to 6 decimals BEFORE the
+    argmax and the threshold so double-noise can't flip either across
+    engines (ties broken by ascending cid on both sides).
+
+    Scale shape: centroid assignment is a broadcast of k×dim against a
+    map-only scan (crossJoin(broadcast) + max_by — no shuffle of the fact
+    side beyond the per-vec_id partial agg); the quadratic verify is
+    cluster-blocked BY DESIGN — that is SemDedup's whole trick: k scales
+    with corpus size (k ~ n/50k) so block sizes stay bounded, unlike the
+    label-blocked `cosine_neardup` whose blocks grow with the data."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        e.orderBy("vec_id")
+        .limit(_SEMDEDUP_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        "v",
+        r6(
+            _vdot(F.col("v"), F.col("cv"))
+            / (F.sqrt(_vdot(F.col("v"), F.col("v")))
+               * F.sqrt(_vdot(F.col("cv"), F.col("cv"))))
+        ).alias("cos"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cid"),
+            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("nc")),
+        ).alias("cid"),
+        F.first("v").alias("v"),
+    )
+    a = assigned.select("vec_id", "cid", "v")
+    x = a.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ai"),
+        F.col("v").alias("va"),
+    )
+    y = a.select(
+        F.col("cid").alias("cid2"),
+        F.col("vec_id").alias("bi"),
+        F.col("v").alias("vb"),
+    )
+    dup = (
+        x.join(y, (F.col("cid") == F.col("cid2")) & (F.col("ai") < F.col("bi")))
+        .where(
+            r6(
+                _vdot(F.col("va"), F.col("vb"))
+                / (F.sqrt(_vdot(F.col("va"), F.col("va")))
+                   * F.sqrt(_vdot(F.col("vb"), F.col("vb"))))
+            )
+            >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("cid", F.col("bi").alias("dropped"))
+    )
+    nv = a.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    nd = dup.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("dropped").cast("bigint").alias("n_dropped"),
+    )
+    return nv.join(nd, "cid", "left").select(
+        "cid",
+        "n_vecs",
+        F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+    )
+
+
+@qdef(
+    "bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT unnest(str_split(text, ' ')) AS word FROM documents
+    ), f AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM w WHERE len(word) >= 2 GROUP BY word
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(word)),
+                                   i -> substr(word, i, 2))) AS pair,
+             freq
+      FROM f
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training: adjacent character-pair
+    counts weighted by word frequency, top-20 by (count, pair) — the
+    statistic every merge round of `operators/bpe.py::train_bpe` recomputes.
+    Deterministic total order so the LIMIT is stable cross-engine.
+
+    Scale shape: the corpus collapses to the word-frequency table first
+    (map-side partial agg → vocab-sized shuffle), so pair generation and
+    everything after runs on |vocab| rows, not |corpus| — the reason BPE
+    training is feasible at 10^12 docs. Pair agg output is bounded by
+    alphabet² and the final top-k is a TakeOrdered (no global sort)."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).where(
+        F.length("word") >= 2
+    )
+    freqs = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    pairs = freqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - F.lit(1)),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -4143,6 +4386,9 @@ _DRIVER_PRIORITY: list[str] = [
     "adaptive_quality_cut",
     "source_overlap",
     "domain_cap",
+    "inverted_index",
+    "semdedup",
+    "bpe_pair_counts",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",

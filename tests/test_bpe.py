@@ -1,0 +1,57 @@
+"""Distributed BPE trainer parity vs the pure-Python twin, plus the merge
+rewrite's left-to-right non-overlap rule."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from ispaq_spark.operators.bpe import (
+    train_bpe,
+    train_bpe_local,
+    word_frequencies,
+)
+
+CORPUS = [
+    "low low low low low lower lower newest newest newest",
+    "newest newest newest widest widest widest new new hug",
+    "hug hug hug hugs pug pun bun bun lower low newest",
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def test_train_bpe_matches_local_twin(spark):
+    freqs = Counter(w for s in CORPUS for w in s.split() if len(w) >= 2)
+    expected = train_bpe_local(dict(freqs), num_merges=8)
+    got = train_bpe(_docs(spark), num_merges=8)
+    assert got == expected
+    assert len(got) == 8
+    # the fixture's dominant pair must surface in round 1
+    assert got[0] in {("e", "s"), ("l", "o"), ("n", "e")}
+
+
+def test_word_frequencies_min_len(spark):
+    rows = {
+        r["word"]: r["freq"]
+        for r in word_frequencies(_docs(spark), min_len=4).collect()
+    }
+    assert rows["newest"] == 7
+    assert "hug" not in rows  # len 3 < min_len 4
+
+
+def test_merge_is_left_to_right_non_overlapping(spark):
+    # "aaaa" with merge (a,a): left-to-right gives [aa, aa]; "aaa" -> [aa, a]
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaa aaaa aaa")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, num_merges=2)
+    local = train_bpe_local({"aaaa": 2, "aaa": 2}, num_merges=2)
+    assert merges == local
+    assert merges[0] == ("a", "a")
+    # second round re-counts on the rewritten vocab: aaaa->[aa,aa],
+    # aaa->[aa,a] so the top pair is (aa,aa) vs (aa,a) by weighted count
+    assert merges[1] in {("aa", "aa"), ("aa", "a")}
