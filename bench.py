@@ -97,6 +97,7 @@ BENCH_QUERIES = (
     "inverted_index",
     "semdedup",
     "bpe_pair_counts",
+    "ann_recall",
 )
 
 

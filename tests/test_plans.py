@@ -270,3 +270,40 @@ def test_source_overlap_hash_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_inverted_index_single_exchange(spark):
+    """inverted_index: the rank window and the final aggregate share the
+    token hash partitioning — exactly ONE exchange in the whole plan (a
+    second would mean the window sort's distribution isn't being reused)."""
+    plan = plan_of(dq.queries()["inverted_index"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_semdedup_broadcast_assign_no_self_join(spark):
+    """semdedup: centroid assignment rides a broadcast (k x dim) against a
+    map-only scan, and the quadratic verify is a per-cluster Arrow group op
+    — no relational self-join, so no SortMergeJoin anywhere and the
+    assignment subtree appears once (single FlatMapGroupsInPandas)."""
+    plan = plan_of(dq.queries()["semdedup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin(broadcast(cent))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_bpe_pair_counts_vocab_collapse_then_takeordered(spark):
+    """bpe_pair_counts: corpus collapses to the word-vocab aggregate before
+    pair generation (two exchanges total: word agg, pair agg) and the
+    top-20 is a TakeOrdered, not a global sort."""
+    plan = plan_of(dq.queries()["bpe_pair_counts"](spark, SF_DIR))
+    assert plan.count("Exchange") == 2, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_recall_broadcasts_queries_and_probe(spark):
+    """ann_recall: query vectors and the probe table must ride broadcasts
+    (5 / 10 rows) — the fact side never shuffles on a join key; the only
+    nested-loop join is the deliberate brute-force evaluation baseline."""
+    plan = plan_of(dq.queries()["ann_recall"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
