@@ -98,6 +98,7 @@ BENCH_QUERIES = (
     "semdedup",
     "bpe_pair_counts",
     "ann_recall",
+    "mixture_weights",
 )
 
 

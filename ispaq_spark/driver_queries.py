@@ -4516,6 +4516,56 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "mixture_weights",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM s)
+    SELECT source, n_docs, n_chars,
+           round(n_docs / n, 6) AS p,
+           round(pow(n_docs / n, 1.0 / 3.0)
+                 / sum(pow(n_docs / n, 1.0 / 3.0)) OVER (), 6) AS w_temp
+    FROM s, tot
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture sampling weights (the multilingual
+    / multi-domain curation rule: sample source s with probability
+    p_s^(1/T) / Z, T=3, so tail domains are up-weighted without letting
+    any dominate — the mixture dial DoReMi-style reweighting tunes). Emits
+    raw share p and the T=3 weight per source.
+
+    Scale shape: one map-side-combined aggregate collapses the corpus to
+    |sources| rows; the temperature normalization is a single-partition
+    window over that dimension-sized table (constant rows at any corpus
+    scale — the corpus itself never re-shuffles). Grafts the reference's
+    per-virtual-network metric share reports (ispaq/utils.py:119-147)
+    into a sampling policy."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = s.agg(F.sum("n_docs").cast("double").alias("n"))
+    p = F.col("n_docs") / F.col("n")
+    w = Window.partitionBy()
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("pw", F.pow(p, F.lit(1.0 / 3.0)))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            r6(p).alias("p"),
+            r6(F.col("pw") / F.sum("pw").over(w)).alias("w_temp"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -4539,6 +4589,7 @@ _DRIVER_PRIORITY: list[str] = [
     "semdedup",
     "bpe_pair_counts",
     "ann_recall",
+    "mixture_weights",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",

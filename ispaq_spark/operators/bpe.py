@@ -117,6 +117,59 @@ def train_bpe(
     return merges
 
 
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a learned merge table to one word (GPT-2 style: repeatedly
+    merge every occurrence of the lowest-ranked bigram present). Shared by
+    the local twin and the distributed UDF so parity is by construction."""
+    sym = list(word)
+    while len(sym) >= 2:
+        best_rank = None
+        best_pair = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (sym[i], sym[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def encode_text_udf(spark, merges: list[tuple[str, str]]):
+    """Arrow UDF tokenizing a text column with a learned merge table:
+    whitespace-split then per-word BPE. The merge table rides ONE broadcast
+    (model-sized, like langid weights) — scoring is map-only; no shuffle,
+    no per-row Python round-trips (Arrow batches)."""
+    bc = spark.sparkContext.broadcast(
+        {tuple(p): i for i, p in enumerate(merges)}
+    )
+
+    @pandas_udf("array<string>")
+    def encode(text: pd.Series) -> pd.Series:
+        ranks = bc.value
+
+        def one(s):
+            toks: list[str] = []
+            for w in (s or "").split(" "):
+                if w:
+                    toks.extend(encode_word(w, ranks))
+            return toks
+
+        return text.map(one)
+
+    return encode
+
+
 def train_bpe_local(
     word_freqs: dict[str, int], num_merges: int = 8
 ) -> list[tuple[str, str]]:

@@ -55,3 +55,24 @@ def test_merge_is_left_to_right_non_overlapping(spark):
     # second round re-counts on the rewritten vocab: aaaa->[aa,aa],
     # aaa->[aa,a] so the top pair is (aa,aa) vs (aa,a) by weighted count
     assert merges[1] in {("aa", "aa"), ("aa", "a")}
+
+
+def test_encode_text_udf_matches_local(spark):
+    from pyspark.sql import functions as F
+
+    from ispaq_spark.operators.bpe import encode_text_udf, encode_word
+
+    merges = train_bpe(_docs(spark), num_merges=6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    enc = encode_text_udf(spark, merges)
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in _docs(spark)
+        .select("doc_id", enc(F.col("text")).alias("toks"))
+        .collect()
+    }
+    for i, s in enumerate(CORPUS):
+        want = [t for w in s.split(" ") if w for t in encode_word(w, ranks)]
+        assert got[i] == want
+    # merged symbols actually appear (the table is being applied)
+    assert any(len(tok) > 1 for toks in got.values() for tok in toks)
