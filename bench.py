@@ -99,6 +99,8 @@ BENCH_QUERIES = (
     "bpe_pair_counts",
     "ann_recall",
     "mixture_weights",
+    "char_entropy",
+    "funnel_steps",
 )
 
 

@@ -4566,6 +4566,139 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "char_entropy",
+    """
+    WITH k AS (
+      SELECT doc_id, source, ch, CAST(count(*) AS DOUBLE) AS cnt
+      FROM (SELECT doc_id, source, unnest(str_split(text, '')) AS ch
+            FROM documents)
+      GROUP BY doc_id, source, ch
+    ), e AS (
+      SELECT doc_id, source,
+             -sum((cnt / len) * ln(cnt / len)) AS ent
+      FROM (SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS len FROM k)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ent), 6) AS avg_entropy,
+           round(min(ent), 6) AS min_entropy,
+           round(max(ent), 6) AS max_entropy
+    FROM e GROUP BY source
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy, aggregated per
+    source — the gibberish/boilerplate detector that catches what
+    stop-word and repetition heuristics miss (base64 blobs and minified JS
+    score HIGH, template spam scores LOW; both fail a [lo, hi] band).
+
+    Scale shape: explode to (doc, char) then count — the exchange is keyed
+    by (doc_id, ch) with map-side combine, so the shuffle carries at most
+    |alphabet| rows per doc, not one per character; the per-doc entropy
+    window and the doc-level aggregate both key on doc_id; the final
+    per-source rollup is dimension-sized. Grafts the reference's
+    sample_unique/signal-entropy style stats (basicStatsMetric.R) lifted
+    to text bytes."""
+    d = t(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_remove(F.split("text", ""), "")).alias("ch"),
+    )
+    k = c.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    wd = Window.partitionBy("doc_id")
+    p = F.col("cnt") / F.col("len")
+    e = (
+        k.withColumn("len", F.sum("cnt").over(wd))
+        .groupBy("doc_id", "source")
+        .agg((-F.sum(p * F.log(p))).alias("ent"))
+    )
+    return e.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r6(F.avg("ent")).alias("avg_entropy"),
+        r6(F.min("ent")).alias("min_entropy"),
+        r6(F.max("ent")).alias("max_entropy"),
+    )
+
+
+@qdef(
+    "funnel_steps",
+    """
+    WITH x1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), x2 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2 FROM x1
+    ), x3 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3 FROM x2
+    ), x4 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t4 FROM x3
+    ), u AS (
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2,
+             min(t3) AS t3, min(t4) AS t4
+      FROM x4 GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)  AS n_users,
+           CAST(count(t1) AS BIGINT) AS n_signup,
+           CAST(count(t2) AS BIGINT) AS n_view,
+           CAST(count(t3) AS BIGINT) AS n_click,
+           CAST(count(t4) AS BIGINT) AS n_purchase
+    FROM u
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel sequential pattern match: per user, the first signup,
+    then the first view strictly after it, the first click after that, and
+    the first purchase after that — counting users surviving each stage.
+    The strictly-greater chain means the stages must occur in order, not
+    merely all occur.
+
+    Scale shape: all four cascaded min-if windows PLUS the per-user
+    collapse share a single exchange on user_id (windows over the same
+    partitioning stack without re-shuffling); the final count is a
+    one-row reduce. No joins, no self-scans — the naive formulation
+    (4 self-joins on events) shuffles the fact table five times. Grafts
+    the reference's state-of-health transition checks
+    (ispaq/simple_metrics.py flag sequences) lifted to event funnels."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+
+    def first_after(etype: str, prev):
+        cond = F.col("event_type") == etype
+        if prev is not None:
+            cond = cond & (F.col("ts") > F.col(prev))
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    x = (
+        ev.withColumn("t1", first_after("signup", None))
+        .withColumn("t2", first_after("view", "t1"))
+        .withColumn("t3", first_after("click", "t2"))
+        .withColumn("t4", first_after("purchase", "t3"))
+    )
+    u = x.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+        F.min("t4").alias("t4"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t1").cast("bigint").alias("n_signup"),
+        F.count("t2").cast("bigint").alias("n_view"),
+        F.count("t3").cast("bigint").alias("n_click"),
+        F.count("t4").cast("bigint").alias("n_purchase"),
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -4590,6 +4723,8 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_pair_counts",
     "ann_recall",
     "mixture_weights",
+    "char_entropy",
+    "funnel_steps",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",

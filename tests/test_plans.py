@@ -307,3 +307,22 @@ def test_ann_recall_broadcasts_queries_and_probe(spark):
     plan = plan_of(dq.queries()["ann_recall"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """funnel_steps: four cascaded min-if windows + the per-user collapse
+    must share ONE hash exchange on user_id (the naive 4-self-join form
+    shuffles the fact table five times); the only other exchange is the
+    SinglePartition reduce for the 1-row answer."""
+    plan = plan_of(dq.queries()["funnel_steps"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_char_entropy_exchange_budget(spark):
+    """char_entropy: exactly three exchanges — (doc,source,ch) count with
+    map-side combine, the per-doc entropy window (whose doc_id partitioning
+    the doc-level aggregate reuses), and the dimension-sized source
+    rollup. A fourth exchange means the window/groupBy reuse regressed."""
+    plan = plan_of(dq.queries()["char_entropy"](spark, SF_DIR))
+    assert plan.count("Exchange") == 3, plan
