@@ -104,6 +104,32 @@ def dataframe_merge(
     ).unionByName(batch)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a bucketed (optionally sort-bucketed) managed
+    table, so every later join or aggregation on `keys` between
+    co-bucketed tables is EXCHANGE-FREE: the bucket layout on disk IS the
+    hash partitioning a shuffle would produce, paid once at write time and
+    amortized over every downstream read. This is the 100-TB recipe for a
+    fact table joined repeatedly on the same key (documents x metrics on
+    doc_id, events x sessions on user_id): co-bucket both sides with the
+    SAME bucket count. tests/test_bucketing.py proves the plan property.
+
+    Graft slot: the reference's per-SNCL sqlite table layout
+    (ispaq/utils.py:157-272) — its "one file per stream" is bucketing by
+    another name, minus the join-locality payoff."""
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
 class CatalogMergeSink(MetricSink):
     """MetricSink over a real catalog table via generated MERGE INTO.
 
