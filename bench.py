@@ -101,6 +101,7 @@ BENCH_QUERIES = (
     "mixture_weights",
     "char_entropy",
     "funnel_steps",
+    "curation_report",
 )
 
 

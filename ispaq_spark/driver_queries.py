@@ -4699,6 +4699,138 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "curation_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, source FROM documents
+    ), x AS (
+      SELECT doc_id, text, source FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM d) WHERE rn = 1
+    ), w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM x
+    ), g AS (
+      SELECT doc_id,
+             [array_to_string(words[i:i+2], ' ')
+              for i in range(1, len(words) - 1)] AS grams
+      FROM w WHERE len(words) >= 3
+    ), sig AS (
+      SELECT doc_id, {_minhash_sql_cols()}
+      FROM g
+    ), ws AS (
+      SELECT doc_id, list_distinct(words) AS ws FROM w
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    ), dup AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN ws a ON c.id_a = a.doc_id
+                  JOIN ws b ON c.id_b = b.doc_id
+      WHERE len(list_filter(a.ws, t -> list_contains(b.ws, t)))
+            / (len(a.ws) + len(b.ws)
+               - len(list_filter(a.ws, t -> list_contains(b.ws, t))))
+            >= 0.8
+    ), s2 AS (
+      SELECT x.* FROM x WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    ), s3 AS (
+      SELECT s2.*, str_split(text, ' ') AS words FROM s2
+      WHERE len(str_split(text, ' ')) BETWEEN 5 AND 100000
+        AND len(list_distinct(str_split(text, ' ')))
+            / len(str_split(text, ' ')) >= 0.10
+    ), s4 AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY (('0x' || substr(md5('cap|' || doc_id), 1, 8))
+                           ::BIGINT), doc_id) AS rn
+        FROM s3) WHERE rn <= 60
+    ), s5 AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT)
+               % 100 AS bucket
+      FROM s4
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM d)  AS n_input,
+      (SELECT CAST(count(*) AS BIGINT) FROM x)  AS n_exact,
+      (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_neardup,
+      (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_quality,
+      (SELECT CAST(count(*) AS BIGINT) FROM s4) AS n_capped,
+      (SELECT CAST(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS BIGINT)
+       FROM s5) AS n_train,
+      (SELECT CAST(sum(CASE WHEN bucket >= 90 AND bucket < 95
+                            THEN 1 ELSE 0 END) AS BIGINT)
+       FROM s5) AS n_val,
+      (SELECT CAST(sum(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT)
+       FROM s5) AS n_test
+    """,
+)
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation recipe (`curation.py::curate_corpus`) as ONE
+    driver-certified relational program: exact dedup -> MinHash-LSH
+    near-dup removal (4 sigs, two 2-row bands, word-set Jaccard >= 0.8)
+    -> quality band -> salted per-source cap (60) -> hash-gated 90/5/5
+    split, reporting each stage's surviving count in a single row. This is
+    the lineage rollup a production run writes to the metric sink — here
+    value-matched against a second engine end-to-end, so the STACK of
+    stages (not just each stage alone) is certified.
+
+    Scale shape: inherited from the certified stage twins — content-hash
+    window, band-key shuffles with verify only on candidates, map-only
+    predicates, per-source rank, zero-shuffle split; the count branches
+    are independent 1-row aggregates crossJoined at the end (no
+    driver-side collect)."""
+    from .curation import (
+        CurationPolicy,
+        assign_split,
+        cap_per_source,
+        quality_filter,
+    )
+    from .operators.dedup import exact_dedup, minhash_dedup
+
+    pol = CurationPolicy()
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    s1 = exact_dedup(d, "text")
+    # four count branches hang off the LSH output; a lazy localCheckpoint
+    # materializes it once inside the single job instead of re-running the
+    # band join per branch (eager=False: no extra job at build time)
+    s2 = minhash_dedup(
+        s1, "doc_id", "text", pol.near_dup_threshold
+    ).localCheckpoint(eager=False)
+    s3 = quality_filter(s2, pol)
+    s4 = cap_per_source(s3, pol.cap_per_source)
+    s5 = assign_split(s4, pol)
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    splits = s5.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    return (
+        cnt(d, "n_input")
+        .crossJoin(cnt(s1, "n_exact"))
+        .crossJoin(cnt(s2, "n_neardup"))
+        .crossJoin(cnt(s3, "n_quality"))
+        .crossJoin(cnt(s4, "n_capped"))
+        .crossJoin(splits)
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -4725,6 +4857,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mixture_weights",
     "char_entropy",
     "funnel_steps",
+    "curation_report",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",
