@@ -10,10 +10,13 @@ config), re-expressed Spark-first for Common-Crawl-style web pages:
 
 Architecture map (reference file:line -> here):
   * metric-set registry (ispaq/user_request.py:470-488)  -> ispaq_spark.registry
-  * data-access expediter (ispaq/concierge.py)           -> ispaq_spark.sources
+  * request parsing + expediter (ispaq/concierge.py)     -> ispaq_spark.request
   * per-group business logic (ispaq/simple_metrics.py)   -> ispaq_spark.pipeline
   * metric math (IRISMustangMetrics R pkg)               -> ispaq_spark.functions
-  * CSV/SQLite sink w/ upsert (ispaq/utils.py:157-272)   -> ispaq_spark.sources.sink
+  * CSV/SQLite sink w/ upsert (ispaq/utils.py:157-272)   -> ispaq_spark.sinks,
+    catalog MERGE INTO + bucketed layouts                -> ispaq_spark.catalog
+  * training-data layer (dedup/ANN/BPE/k-means/logreg)   -> ispaq_spark.operators
+  * composed corpus-curation recipe                      -> ispaq_spark.curation
 Everything is DataFrame/Catalyst-first; Python appears only in Arrow-batched
 pandas UDFs (no per-row Python on the hot path).
 """

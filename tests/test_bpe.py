@@ -76,3 +76,33 @@ def test_encode_text_udf_matches_local(spark):
         assert got[i] == want
     # merged symbols actually appear (the table is being applied)
     assert any(len(tok) > 1 for toks in got.values() for tok in toks)
+
+
+def test_encode_word_is_lossless_property():
+    """Property: for ANY word and ANY merge table, the encoded symbols
+    concatenate back to the word — BPE only regroups, never rewrites."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ispaq_spark.operators.bpe import encode_word
+
+    words = st.text(alphabet="abcde", min_size=1, max_size=12)
+    pairs = st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=2),
+            st.text(alphabet="abcde", min_size=1, max_size=2),
+        ),
+        max_size=8,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(word=words, merges=pairs)
+    def check(word, merges):
+        ranks = {}
+        for i, p in enumerate(merges):
+            ranks.setdefault(tuple(p), i)
+        toks = encode_word(word, ranks)
+        assert "".join(toks) == word
+        assert all(toks)
+
+    check()
