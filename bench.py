@@ -98,6 +98,7 @@ BENCH_QUERIES = (
     "semdedup",
     "bpe_pair_counts",
     "ann_recall",
+    "ann_recall_probe4",
     "mixture_weights",
     "char_entropy",
     "funnel_steps",

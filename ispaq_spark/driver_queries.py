@@ -4360,9 +4360,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@qdef(
-    "ann_recall",
-    """
+_ANN_RECALL_SQL = """
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     ), q AS (
@@ -4391,7 +4389,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT qid, label,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY ccos DESC, label) AS rn
-        FROM lc) WHERE rn <= 2
+        FROM lc) WHERE rn <= {probes}
     ), cand AS (
       SELECT p.qid, a.vec_id, a.v
       FROM e a JOIN probe p USING (label) WHERE a.vec_id <> p.qid
@@ -4416,11 +4414,14 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
            round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10
     FROM nc LEFT JOIN ov ON nc.qid = ov.qid
-    """,
-)
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _ann_recall_impl(
+    spark: SparkSession, sf_dir: str, probes: int
+) -> DataFrame:
     """ANN quality evaluation: recall@10 of the IVF path (per-label
-    centroids, probe-2 — exactly `ivf_topk`'s quantizer) against exact
+    centroids, probe-N — exactly `ivf_topk`'s quantizer) against exact
     brute-force top-10, for 5 fixed query vectors. The "measure, don't
     guess" gate of the similarity layer: an ANN index is only as good as
     its measured recall, so the evaluation itself must be a first-class,
@@ -4481,7 +4482,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("qid").orderBy(F.desc("ccos"), "label")
             ),
         )
-        .where("rn <= 2")
+        .where(F.col("rn") <= probes)
         .select("qid", "label")
     )
     cand = (
@@ -4514,6 +4515,22 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+@qdef("ann_recall", _ANN_RECALL_SQL.format(probes=2))
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """probe-2 recall@10 — see `_ann_recall_impl` (0.30 on the diffuse
+    sf0.01 fixture)."""
+    return _ann_recall_impl(spark, sf_dir, 2)
+
+
+@qdef("ann_recall_probe4", _ANN_RECALL_SQL.format(probes=4))
+def q_ann_recall_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """probe-4 recall@10: doubling probed cells ~doubles the candidate
+    set (≈95→≈200 of 500) and lifts recall 0.30 → 0.5-0.7 on the sf0.01
+    fixture — the measured recall-vs-cost dial, certified at two settings
+    so the TREND (not one point) is cross-engine-checked."""
+    return _ann_recall_impl(spark, sf_dir, 4)
 
 
 @qdef(
@@ -4854,6 +4871,7 @@ _DRIVER_PRIORITY: list[str] = [
     "semdedup",
     "bpe_pair_counts",
     "ann_recall",
+    "ann_recall_probe4",
     "mixture_weights",
     "char_entropy",
     "funnel_steps",
