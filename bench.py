@@ -103,6 +103,8 @@ BENCH_QUERIES = (
     "char_entropy",
     "funnel_steps",
     "curation_report",
+    "tfidf_phrases",
+    "ngram_novelty",
 )
 
 

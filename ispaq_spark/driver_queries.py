@@ -4848,6 +4848,179 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "tfidf_phrases",
+    """
+    WITH w AS (
+      SELECT source, str_split(text, ' ') AS words FROM documents
+    ), ph AS (
+      SELECT source,
+             unnest([array_to_string(words[i:i+1], ' ')
+                     for i in range(1, len(words))]) AS phrase
+      FROM w WHERE len(words) >= 2
+    ), tf AS (
+      SELECT source, phrase, CAST(count(*) AS BIGINT) AS tf
+      FROM ph GROUP BY source, phrase
+    ), df AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT source, phrase FROM tf) GROUP BY phrase
+    ), n AS (
+      SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM documents
+    )
+    SELECT source, phrase, tf, round(score, 6) AS tfidf
+    FROM (
+      SELECT tf.source, tf.phrase, tf.tf,
+             tf.tf * ln(n.ns / df.df) AS score,
+             row_number() OVER (
+               PARTITION BY tf.source
+               ORDER BY tf.tf * ln(n.ns / df.df) DESC, tf.phrase) AS rn
+      FROM tf JOIN df USING (phrase) CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+)
+def q_tfidf_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic phrases per domain: tf-idf over 2-word phrases with
+    source-level document frequency, top-5 per source — the corpus
+    summarization a curation run uses to see WHAT each domain contributes
+    (complement of `bm25_rank`, which scores docs for a query).
+
+    Scale shape: phrase tf collapses the corpus map-side to the
+    (source × phrase) table; df is a second vocab-sized aggregate whose
+    output BROADCASTS back (phrase-df is model-sized, like idf tables
+    everywhere); the corpus-count scalar rides the same broadcast; the
+    final top-5 is a per-source rank over the already-collapsed tf table.
+    The fact table is never shuffled twice."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select("source", F.split("text", " ").alias("words")).where(
+        F.size("words") >= 2
+    )
+    ph = w.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - F.lit(1)),
+                lambda i: F.array_join(F.slice("words", i, 2), " "),
+            )
+        ).alias("phrase"),
+    )
+    tf = ph.groupBy("source", "phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_tab = (
+        tf.select("source", "phrase")
+        .distinct()
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    ns = d.agg(
+        F.countDistinct("source").cast("double").alias("ns")
+    )
+    scored = (
+        tf.join(F.broadcast(df_tab), "phrase")
+        .crossJoin(F.broadcast(ns))
+        .withColumn(
+            "score", F.col("tf") * F.log(F.col("ns") / F.col("df"))
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), "phrase")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where("rn <= 5")
+        .select("source", "phrase", "tf", r6("score").alias("tfidf"))
+    )
+
+
+@qdef(
+    "ngram_novelty",
+    """
+    WITH s AS (
+      SELECT lang, text,
+             CASE WHEN (('0x' || substr(md5('split|' || doc_id), 1, 8))
+                        ::BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ), g AS (
+      SELECT lang, split,
+             unnest([array_to_string(words[i:i+7], ' ')
+                     for i in range(1, len(words) - 6)]) AS gram
+      FROM (SELECT lang, split, str_split(text, ' ') AS words FROM s)
+      WHERE len(words) >= 8
+    ), tr AS (
+      SELECT DISTINCT lang, gram FROM g WHERE split = 'train'
+    ), va AS (
+      SELECT DISTINCT lang, gram FROM g WHERE split = 'val'
+    ), novel AS (
+      SELECT va.lang, CAST(count(*) AS BIGINT) AS n_novel
+      FROM va LEFT JOIN tr ON va.lang = tr.lang AND va.gram = tr.gram
+      WHERE tr.gram IS NULL GROUP BY va.lang
+    ), tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_val_grams
+      FROM va GROUP BY lang
+    )
+    SELECT tot.lang, tot.n_val_grams,
+           COALESCE(novel.n_novel, 0)::BIGINT AS n_novel,
+           round(COALESCE(novel.n_novel, 0) / tot.n_val_grams, 6)
+             AS novelty
+    FROM tot LEFT JOIN novel ON tot.lang = novel.lang
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-novelty audit: the fraction of the val split's distinct
+    8-grams never seen in the train split, per language — high novelty =
+    a genuinely held-out eval set; low novelty = leakage the
+    decontamination stage must explain. Uses the same salted hash split
+    as `split_assign`/`curation.py`, so it audits the ACTUAL splits the
+    pipeline ships.
+
+    Scale shape: the gram explode is map-side; distinct + the
+    train-vs-val anti-join both key on (lang, gram) — one hash family,
+    no broadcast of the (corpus-sized) train gram set, which is exactly
+    why this is an anti-JOIN and not a decontaminate-style broadcast
+    (benchmarks are model-sized; a train split is not)."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _hex_hash_spark(
+            F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    s = d.select(
+        "lang",
+        F.split("text", " ").alias("words"),
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    ).where(F.size("words") >= 8)
+    g = s.select(
+        "lang",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - F.lit(7)),
+                lambda i: F.array_join(F.slice("words", i, 8), " "),
+            )
+        ).alias("gram"),
+    )
+    tr = g.where("split = 'train'").select("lang", "gram").distinct()
+    va = g.where("split = 'val'").select("lang", "gram").distinct()
+    novel = (
+        va.join(tr, ["lang", "gram"], "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    tot = va.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_val_grams")
+    )
+    return tot.join(F.broadcast(novel), "lang", "left").select(
+        "lang",
+        "n_val_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        r6(
+            F.coalesce("n_novel", F.lit(0)) / F.col("n_val_grams")
+        ).alias("novelty"),
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -4876,6 +5049,8 @@ _DRIVER_PRIORITY: list[str] = [
     "char_entropy",
     "funnel_steps",
     "curation_report",
+    "tfidf_phrases",
+    "ngram_novelty",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",
