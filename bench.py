@@ -105,6 +105,7 @@ BENCH_QUERIES = (
     "curation_report",
     "tfidf_phrases",
     "ngram_novelty",
+    "lsh_containment_verify",
 )
 
 

@@ -5021,6 +5021,59 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_CONTAINMENT_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [array_to_string(words[i:i+2], ' ')
+              for i in range(1, len(words) - 1)] AS grams
+      FROM w WHERE len(words) >= 3
+    ), sig AS (
+      SELECT doc_id, {mh_cols} FROM g
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+    ), ws AS (
+      SELECT doc_id, list_distinct(words) AS ws FROM w
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                 / least(len(a.ws), len(b.ws)), 6) AS containment
+    FROM cand c
+    JOIN ws a ON a.doc_id = c.doc_a
+    JOIN ws b ON b.doc_id = c.doc_b
+"""
+
+
+@qdef(
+    "lsh_containment_verify",
+    _LSH_CONTAINMENT_ORACLE.format(mh_cols=_minhash_sql_cols()),
+)
+def q_lsh_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring over LSH band candidates:
+    |A∩B| / min(|A|,|B|) — the quote/boilerplate detector Jaccard misses
+    (a short doc wholly quoted inside a long one has LOW Jaccard but
+    containment 1.0; C4's span removal and news-wire syndication dedup
+    both key on this). Same band-bucket candidate generator and word-set
+    join shape as `lsh_jaccard_verify`; only the kernel's denominator
+    changes — which is the point of the pluggable-kernel verify design."""
+    cand = _band_candidates(_minhash_sig(spark, sf_dir))
+    words = _word_sets(spark, sf_dir).select("doc_id", "ws")
+    wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    j = cand.join(wa, "doc_a").join(wb, "doc_b")
+    inter = F.size(F.array_intersect("wa", "wb"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        r6(inter / F.least(F.size("wa"), F.size("wb"))).alias("containment"),
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -5051,6 +5104,7 @@ _DRIVER_PRIORITY: list[str] = [
     "curation_report",
     "tfidf_phrases",
     "ngram_novelty",
+    "lsh_containment_verify",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",
