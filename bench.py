@@ -106,6 +106,7 @@ BENCH_QUERIES = (
     "tfidf_phrases",
     "ngram_novelty",
     "lsh_containment_verify",
+    "dup_rate_by_source",
 )
 
 

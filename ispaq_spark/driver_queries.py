@@ -5074,6 +5074,38 @@ def q_lsh_containment_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "dup_rate_by_source",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT md5(text)) / count(*), 6)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain exact-duplication rate — the audit column a curation run
+    reports per source BEFORE deciding cap/dedup policy (mirror-heavy
+    domains show high dup_rate and get capped harder; `curation_report`
+    then certifies what the policy actually removed).
+
+    Scale shape: one map-side-combined aggregate on source; the distinct
+    is hash-based (md5 of content, 16 bytes on the wire, never the text).
+    Grafts the reference's percent_availability-style per-target coverage
+    report (ispaq/simple_metrics.py) as a content-integrity column."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct"),
+        r6(
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")) / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -5105,6 +5137,7 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_phrases",
     "ngram_novelty",
     "lsh_containment_verify",
+    "dup_rate_by_source",
     "welch_coherence",
     "welch_collected",
     "orientation_scan",
