@@ -10,9 +10,20 @@ Every timing is a min-of-N (N=5 pipeline, 3 elsewhere) with a per-query
 spread (max-min) column: this VM shows 2-4x whole-box bimodal slowdowns
 (BENCH/BASELINE.md), so single samples cannot show regressions.
 
-Output: {"metric": "total_bench_sec", "value": N, "unit": "sec",
-         "queries": {...per-query min sec...}, "spread": {...max-min...},
-         "sf": ..., "docs_per_sec": ...}
+Output protocol (round-4 fix — BENCH_r03.json was truncated because the
+per-query timings + spread dicts pushed the single JSON line past the
+driver's tail-capture window, leaving "parsed": null):
+
+  line 1: {"detail": "per_query", "queries": {...min sec...},
+           "spread": {...max-min...}}          (also written to
+           BENCH_DETAIL.json next to this script)
+  final line: {"metric": "total_bench_sec", "value": N, "unit": "sec",
+               "sf": ..., "docs_per_sec": ..., "docs_per_sec_marginal": ...,
+               "n_docs": ..., "cpus": ..., "n_queries": ...,
+               "detail_path": "BENCH_DETAIL.json"}
+
+The FINAL line is the compact headline the driver must parse; per-query
+timings stay recoverable from the earlier line and the sidecar file.
 """
 
 from __future__ import annotations
@@ -238,19 +249,29 @@ def main() -> None:
         spreads[name] = round(spread, 3)
 
     total = round(sum(timings.values()), 3)
+    detail = {"detail": "per_query", "queries": timings, "spread": spreads}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-query detail on its OWN earlier line (+ sidecar file): the driver
+    # captures a bounded stdout tail and parses the final JSON line, so the
+    # headline line below must stay compact (BENCH_r03 lesson).
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "total_bench_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
                 "sf": sf,
                 "docs_per_sec": round(n_docs / pipeline_sec, 1),
                 "docs_per_sec_marginal": round(marginal, 1),
                 "n_docs": n_docs,
                 "cpus": CPUS,
+                "n_queries": len(timings),
+                "detail_path": "BENCH_DETAIL.json",
             }
         )
     )
