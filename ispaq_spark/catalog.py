@@ -156,18 +156,36 @@ class CatalogMergeSink(MetricSink):
         self.key_cols = key_cols or ["target", "start", "end"]
 
     def merge(self, metrics: DataFrame) -> None:
+        import uuid
+
         value_cols = [
             c for c in metrics.columns if c not in self.key_cols
         ]
-        metrics.createOrReplaceTempView("_ispaq_merge_batch")
-        self.spark.sql(
-            merge_into_sql(
-                self.table,
-                "_ispaq_merge_batch",
-                self.key_cols,
-                value_cols,
+        # Per-call unique view name: a fixed session-global name lets two
+        # sinks (or concurrent merges) in one SparkSession clobber each
+        # other's source view mid-statement.
+        view = f"_ispaq_merge_batch_{uuid.uuid4().hex}"
+        metrics.createOrReplaceTempView(view)
+        try:
+            if "ds" in metrics.columns:
+                # MetricSink.merge must REPLACE the batch's ds partitions
+                # (sinks.py:46-49): a key-grain MERGE alone never deletes
+                # rows absent from a recomputed day (doc removed, metric
+                # dropped), so stale rows would survive while
+                # commit_snapshot marks the day's fingerprint green. Scope
+                # a delete to exactly the batch's ds values first; the
+                # MERGE then (re)inserts the batch. A crash between the two
+                # statements leaves the day physically empty, which
+                # partition_complete reports as incomplete -> recompute.
+                self.spark.sql(
+                    f"DELETE FROM {self.table} WHERE ds IN "
+                    f"(SELECT DISTINCT ds FROM {view})"
+                )
+            self.spark.sql(
+                merge_into_sql(self.table, view, self.key_cols, value_cols)
             )
-        )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def read_snapshot(self) -> dict[str, str]:
         import json
@@ -190,8 +208,9 @@ class CatalogMergeSink(MetricSink):
         )
 
     def partition_complete(self, ds: str) -> bool:
-        # Catalog merges are atomic per commit; a committed snapshot row
-        # implies the data landed (no partial-partition crash window).
+        # merge() is DELETE + MERGE (two commits); a crash between them
+        # leaves the day's partition empty, which this reports as
+        # incomplete so run_resumable recomputes it.
         return (
             self.spark.table(self.table)
             .where(F.col("ds") == ds)

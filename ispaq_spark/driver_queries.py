@@ -3378,13 +3378,13 @@ def q_welch_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ang
     ), scored AS (
       SELECT user_id, cnt, angle,
-             (cnt * sbrf - sbr * sr)
+             round((cnt * sbrf - sbr * sr)
                / (sqrt(cnt * sbrr - sbr * sbr)
-                  * sqrt(cnt * srr - sr * sr)) AS corr
+                  * sqrt(cnt * srr - sr * sr)), 6) AS corr
       FROM terms
       WHERE cnt * sbrr - sbr * sbr > 0 AND cnt * srr - sr * sr > 0
     )
-    SELECT user_id, angle AS best_angle, round(corr, 6) AS best_corr,
+    SELECT user_id, angle AS best_angle, corr AS best_corr,
            cnt AS n_samples
     FROM (
       SELECT *, row_number() OVER (
@@ -3460,8 +3460,11 @@ def q_orientation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (F.col("cnt") * sbrf - sbr * F.col("sr")) / (
         F.sqrt(den_a) * F.sqrt(den_b)
     )
+    # Round BEFORE the argmax: Spark and DuckDB accumulate the 10 sums in
+    # different orders, so an unrounded near-tie between adjacent angles
+    # could flip best_angle cross-engine (the semdedup convention).
     scored = ang.where((den_a > 0) & (den_b > 0)).select(
-        "user_id", "cnt", "angle", corr.alias("corr")
+        "user_id", "cnt", "angle", r6(corr).alias("corr")
     )
     best = scored.groupBy("user_id").agg(
         F.max(
@@ -3473,7 +3476,7 @@ def q_orientation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "user_id",
         (-F.col("b.na")).alias("best_angle"),
-        r6(F.col("b.corr")).alias("best_corr"),
+        F.col("b.corr").alias("best_corr"),
         F.col("b.cnt").alias("n_samples"),
     )
 

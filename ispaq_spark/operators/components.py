@@ -70,7 +70,10 @@ def label_propagation_components(
     )
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: observing the fixed point costs one extra (unchanged)
+    # round, so a graph needing exactly max_iter propagation rounds must
+    # not exhaust the budget on the observation itself.
+    for _ in range(max_iter + 1):
         neighbor_min = (
             labels.join(e, labels.n == e.a)
             .groupBy(F.col("b").alias("n"))
@@ -149,7 +152,9 @@ def alternating_star_components(
     nodes = _sym(e).select(F.col("a").alias("node")).distinct()
     prev_sig = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1 observations for max_iter productive rounds (see
+    # label_propagation_components).
+    for _ in range(max_iter + 1):
         e = _large_star(e).localCheckpoint(eager=True)
         e = _small_star(e).localCheckpoint(eager=True)
         sig = _signature(e)

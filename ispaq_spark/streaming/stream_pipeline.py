@@ -91,8 +91,21 @@ def run_rollup_stream_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, 300)
     return q
+
+
+def _await_drained(q, timeout_sec: int) -> None:
+    """awaitTermination(timeout) returns False when the query is STILL
+    RUNNING — under this host's documented multi-x whole-box slowdowns a
+    drain can exceed the budget, and silently returning would hand callers
+    a directory of partial output despite the 'then stop' contract. Stop
+    the query and raise instead."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream drain exceeded {timeout_sec}s; output is partial"
+        )
 
 
 def run_stream_once(
@@ -115,5 +128,5 @@ def run_stream_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, 300)
     return q
