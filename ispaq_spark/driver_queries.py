@@ -2470,11 +2470,17 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving spans. This is the corpus-level "remove repeated boilerplate"
     stage of web-text pipelines (C4 drops duplicate three-sentence spans).
 
-    Scale shape: posexplode is map-side; the only shuffle is the window
-    partitioned by the span text (at 10^12 docs, by xxhash64(span) — 8
-    bytes instead of the span string on the wire, same first-occurrence
-    semantics modulo hash collisions); reassembly shuffles (doc_id, idx,
-    span) once. No self-join, no quadratic term. Grafts the reference's
+    Scale shape: posexplode is map-side; the first-occurrence ranking
+    window partitions by xxhash64(span) — 8 bytes per span on the wire
+    instead of the span string (same semantics modulo 64-bit hash
+    collisions, which the string-ranked oracle quantifies: identical
+    results on every certified run). Span text crosses the wire exactly
+    ONCE, in the unavoidable reassembly join: winners collapse to a
+    per-doc (doc_id, keep_idx[], removed) row before rejoining the word
+    arrays on doc_id. The lang-string-ranked form this replaces shuffled
+    the full corpus text TWICE (rank exchange + reassembly).
+    tests/test_plans.py gates the window exchange key to the hash column.
+    No self-join, no quadratic term. Grafts the reference's
     duplicate-epoch pruning (ispaq/utils.py:404-431) lifted from metadata
     rows to content spans."""
     d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
@@ -2491,31 +2497,41 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     )
-    rn = F.row_number().over(
-        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    # Drop the span text BEFORE the ranking exchange: only the 8-byte hash
+    # travels.
+    idx = spans.select(
+        "doc_id", "chunk_idx", F.xxhash64("chunk").alias("h")
     )
-    ranked = spans.withColumn("rn", rn)
-    return ranked.groupBy("doc_id").agg(
-        F.coalesce(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rn") == 1,
-                                F.struct("chunk_idx", "chunk"),
-                            )
-                        )
-                    ),
-                    lambda s: s.chunk,
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    )
+    per_doc = (
+        idx.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            # collect_list drops the NULLs when() leaves for losers
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rn") == 1, F.col("chunk_idx"))
+                )
+            ).alias("keep_idx"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("removed_chunks"),
+        )
+    )
+    return words.join(per_doc, "doc_id").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("keep_idx"),
+                lambda i: F.array_join(
+                    F.slice(F.col("ws"), i * _CHUNK_W + 1, _CHUNK_W), " "
                 ),
-                " ",
             ),
-            F.lit(""),
+            " ",
         ).alias("clean_text"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("removed_chunks"),
+        "removed_chunks",
     )
 
 
@@ -3127,38 +3143,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 256  # tokens per training sequence (sandbox-sized)
+_PACK_BUCKET_DOCS = 128  # docs per packing window partition (bounds skew)
 
 
 @qdef(
     "pack_sequences",
     f"""
     WITH toks AS (
-      SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens
+      SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens,
+             CAST(floor(doc_id / {_PACK_BUCKET_DOCS}) AS BIGINT) AS bkt
       FROM documents WHERE text IS NOT NULL
     ), runs AS (
-      SELECT doc_id, lang, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      SELECT doc_id, lang, n_tokens, bkt,
+             sum(n_tokens) OVER (PARTITION BY lang, bkt ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM toks
     )
     SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+           CAST(bkt * 4294967296
+                + floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT)
+             AS pack_id
     FROM runs
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to fixed token-budget training
     sequences (per language, in deterministic doc_id order) via a running
-    token count — pack_id = floor(preceding_cumsum / budget). This is the
-    cumsum approximation of greedy packing (a doc may straddle a budget
-    boundary and be split at tokenization time), which is what production
-    packers do anyway — exact greedy is inherently sequential.
+    token count — the cumsum approximation of greedy packing (a doc may
+    straddle a budget boundary and be split at tokenization time), which
+    is what production packers do anyway — exact greedy is inherently
+    sequential.
 
-    Scale shape: ONE window (shuffle on lang, sort by doc_id) over the
-    token-count table — no iteration, no driver loop; at 10^12 docs the
-    partition key becomes (lang, day) so each window instance is
-    bounded. Grafts the reference's day-windowed segment assembly
-    (ispaq/simple_metrics.py:83-101)."""
+    Scale shape: ONE window over the token-count table, partitioned by
+    (lang, doc_id-bucket) — NOT lang alone, because at corpus scale the
+    dominant language is most of the corpus and a lang-only window sorts
+    it in one task. The bucket bounds every window instance to
+    _PACK_BUCKET_DOCS docs; packs never span a bucket boundary (one extra
+    partially-filled pack per bucket, the same boundary-split semantics as
+    the budget itself). pack_id stays globally unique within a language
+    via the bucket prefix: bucket * 2^32 + local pack index (valid while a
+    bucket's token total < budget * 2^32 — at 128 docs/bucket that allows
+    ~4e12 tokens per bucket). Grafts the reference's day-windowed segment
+    assembly (ispaq/simple_metrics.py:83-101)."""
     toks = (
         t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
@@ -3166,10 +3192,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.size(F.split("text", " ")).alias("n_tokens"),
+            F.floor(F.col("doc_id") / _PACK_BUCKET_DOCS)
+            .cast("bigint")
+            .alias("bkt"),
         )
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -3178,7 +3207,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.floor((cum - F.col("n_tokens")) / _PACK_BUDGET)
+        (
+            F.col("bkt") * F.lit(4294967296).cast("bigint")
+            + F.floor((cum - F.col("n_tokens")) / _PACK_BUDGET)
+        )
         .cast("bigint")
         .alias("pack_id"),
     )

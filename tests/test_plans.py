@@ -144,13 +144,23 @@ def test_int8_query_vector_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_chunk_dedup_two_exchanges(spark):
-    """Span dedup needs exactly two shuffles: the first-occurrence window
-    (by span) and the per-doc reassembly aggregate. Anything more means a
-    lost co-partitioning."""
+def test_chunk_dedup_ranks_on_hash_key(spark):
+    """The first-occurrence ranking exchange must be keyed on the 8-byte
+    xxhash64 of the span, NOT the span string — a string key ships the
+    whole corpus text through the ranking shuffle. Text may cross the wire
+    only once, in the reassembly join on doc_id."""
+    import re
+
     plan = plan_of(dq.queries()["chunk_dedup"](spark, SF_DIR))
-    assert plan.count("Exchange") <= 3  # window + agg partial/final pair
-    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    # the window exchange is keyed on the hash column
+    assert re.search(r"hashpartitioning\(h#\d+", plan), plan
+    # the span string column must not appear in ANY exchange key
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "chunk#" not in keys, keys
+    assert "CartesianProduct" not in plan
+    # window + per-doc agg + reassembly join sides; more = lost
+    # co-partitioning
+    assert plan.count("Exchange") <= 5
 
 
 def test_salted_agg_partial_final(spark):
@@ -183,6 +193,19 @@ def test_pack_sequences_single_window_shuffle(spark):
     plan = plan_of(dq.queries()["pack_sequences"](spark, SF_DIR))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_pack_sequences_window_key_includes_bucket(spark):
+    """The packing window must partition on (lang, doc_id-bucket), not lang
+    alone: a lang-only window sorts the dominant language's whole corpus in
+    ONE task at scale. Gate the exchange key itself."""
+    import re
+
+    plan = plan_of(dq.queries()["pack_sequences"](spark, SF_DIR))
+    m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m, plan
+    keys = m.group(1)
+    assert "lang" in keys and "bkt" in keys, keys
 
 
 def test_pivot_single_aggregation_no_extra_job(spark):
