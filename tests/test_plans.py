@@ -208,6 +208,25 @@ def test_pack_sequences_window_key_includes_bucket(spark):
     assert "lang" in keys and "bkt" in keys, keys
 
 
+def test_hash_embed_two_shuffles_no_python(spark):
+    """The text->embedding stage is pure Catalyst: exactly two hash
+    shuffles (feature counts, per-doc sums), the 512-row projection matrix
+    broadcast, and zero Python operators."""
+    plan = plan_of(dq.queries()["hash_embed"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_embed_chain_broadcasts_all_dimensions(spark):
+    """In the chained embed->IVF->recall query the centroid, query, probe
+    and top-k tables must all broadcast — any SortMergeJoin means a
+    dimension table shuffled the corpus."""
+    plan = plan_of(dq.queries()["embed_ivf_chain"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
 def test_pivot_single_aggregation_no_extra_job(spark):
     """Long->wide pivot with pinned values must compile to one conditional
     partial+final aggregation — one exchange on user_id, no join, and no
