@@ -2535,6 +2535,131 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUB_W = 8  # sliding-gram width for exact-substring dedup
+
+
+@qdef(
+    "substring_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL
+    ), g AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(ws) - {_SUB_W - 1}, 0))) AS pos,
+             ws
+      FROM w
+    ), gr AS (
+      SELECT doc_id, pos,
+             array_to_string(ws[pos + 1 : pos + {_SUB_W}], ' ') AS gram
+      FROM g
+    ), ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+               AS rn
+      FROM gr
+    ), cov AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {_SUB_W})) AS tp
+      FROM ranked WHERE rn > 1
+    ), toks AS (
+      SELECT doc_id, unnest(range(0, len(ws))) AS i, ws FROM w
+    ), kept AS (
+      SELECT t.doc_id, t.i, t.ws[t.i + 1] AS tok
+      FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.tp = t.i
+      WHERE cov.tp IS NULL
+    ), clean AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id
+    ), nr AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+           COALESCE(nr.n_removed, 0)::BIGINT AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM w LEFT JOIN nr ON w.doc_id = nr.doc_id
+    LEFT JOIN clean c ON w.doc_id = c.doc_id
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal, the suffix-array dedup of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed relationally: a token is removed iff it lies
+    inside a >= {_SUB_W}-token substring that already occurred earlier in
+    the corpus. The sliding {_SUB_W}-gram grid makes that exact — every
+    token of an L >= {_SUB_W} duplicated run is covered by some duplicated
+    {_SUB_W}-gram inside the run, and only such tokens are. Keep-first:
+    the rank over (doc_id, pos) leaves the earliest copy intact. This is
+    the stronger cousin of `chunk_dedup`'s fixed grid (which misses
+    duplicates straddling chunk boundaries).
+
+    Scale shape: grams explode map-side and are hashed to 8 bytes BEFORE
+    the first-occurrence ranking shuffle (xxhash64, same collision caveat
+    as `chunk_dedup` — the string-ranked oracle certifies the semantics);
+    covered positions are (doc_id, int) pairs, <= {_SUB_W} x duplicate
+    occurrences; reassembly joins the removed-index SET back to the word
+    arrays on doc_id, so document text crosses the wire exactly once.
+    Suffix arrays need a global sort of every suffix — this form needs one
+    hash shuffle of 8-byte keys and matches it for fixed minimum length."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    starts = F.when(
+        n >= _SUB_W, F.sequence(F.lit(0), (n - _SUB_W).cast("int"))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    grams = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(F.slice("ws", i + 1, _SUB_W), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    idx = grams.select(
+        "doc_id", "pos", F.xxhash64("gram").alias("h")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")
+    )
+    covered = (
+        idx.withColumn("rn", rn)
+        .where(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos").cast("bigint"),
+                    (F.col("pos") + _SUB_W - 1).cast("bigint"),
+                )
+            ).alias("tp"),
+        )
+    )
+    rem = covered.groupBy("doc_id").agg(
+        F.collect_set("tp").alias("rem")
+    )
+    joined = words.join(rem, "doc_id", "left").withColumn(
+        "rem",
+        F.coalesce("rem", F.expr("CAST(array() AS array<bigint>)")),
+    )
+    idxs = F.sequence(
+        F.lit(0).cast("bigint"), (F.size("ws") - 1).cast("bigint")
+    )
+    kept = F.filter(idxs, lambda i: ~F.array_contains(F.col("rem"), i))
+    return joined.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.size("rem").cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                kept,
+                lambda i: F.element_at("ws", (i + 1).cast("int")),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 _CC_JACCARD = 0.8  # near-dup edge threshold for component clustering
 
 

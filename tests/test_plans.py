@@ -163,6 +163,19 @@ def test_chunk_dedup_ranks_on_hash_key(spark):
     assert plan.count("Exchange") <= 5
 
 
+def test_substring_dedup_ranks_on_hash_key(spark):
+    """Sliding-gram substring dedup: like chunk_dedup, the first-occurrence
+    ranking exchange must carry the 8-byte gram hash, never the gram
+    string."""
+    import re
+
+    plan = plan_of(dq.queries()["substring_dedup"](spark, SF_DIR))
+    assert re.search(r"hashpartitioning\(h#\d+", plan), plan
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "gram#" not in keys, keys
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_agg_partial_final(spark):
     """The salted two-phase aggregation must still map-side combine within
     each phase (partial/final HashAggregate pairs)."""
