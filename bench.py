@@ -118,6 +118,10 @@ BENCH_QUERIES = (
     "ngram_novelty",
     "lsh_containment_verify",
     "dup_rate_by_source",
+    # round-4 additions
+    "hash_embed",
+    "embed_ivf_chain",
+    "substring_dedup",
 )
 
 

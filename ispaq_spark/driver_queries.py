@@ -5611,53 +5611,62 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver certifies only the first 50 entries of queries() per round
-# (CORRECTNESS_r02 cut at exactly 50, in registration order). Queries that
-# have never received a driver-green row go FIRST so every query earns a
-# certified row across rounds; the r01/r02-certified ones fill the rest.
+# (the CORRECTNESS_r* window cuts at exactly 50, in registration order).
+# Rotation rule: queries whose implementation is NEW or CHANGED this round
+# go first, then the least-recently-certified ones (the set absent from the
+# latest CORRECTNESS json), so every query re-earns a green row across
+# rounds and a silent regression can't hide outside the window.
 _DRIVER_PRIORITY: list[str] = [
-    # round-3 additions (no driver row yet)
-    "dsir_resample",
-    "canonical_docs",
-    "split_assign",
-    "lsh_cosine_verify",
-    "pmi_bigrams",
-    "adaptive_quality_cut",
-    "source_overlap",
-    "domain_cap",
-    "inverted_index",
-    "semdedup",
-    "bpe_pair_counts",
-    "ann_recall",
-    "ann_recall_probe4",
-    "mixture_weights",
-    "char_entropy",
-    "funnel_steps",
-    "curation_report",
-    "tfidf_phrases",
-    "ngram_novelty",
-    "lsh_containment_verify",
-    "dup_rate_by_source",
-    "welch_coherence",
-    "welch_collected",
-    "orientation_scan",
-    "psd_windows",
-    "lsh_jaccard_verify",
-    "geo_radius_banded",
-    # registered after the r02 cut (judge-verified only, never driver-green)
-    "asof_join",
-    "chunk_dedup",
-    "neardup_components",
-    "salted_skew_agg",
-    "int8_topk",
-    "bm25_rank",
-    "stratified_sample",
-    "arrow_token_stats",
-    "variant_extract",
-    "vocab_topk",
-    "udaf_trimmed_mean",
-    "decontaminate",
+    # round-4 new queries (no driver row yet)
+    "hash_embed",
+    "embed_ivf_chain",
+    "substring_dedup",
+    # round-4 changed implementations (r03 rows are stale for these)
     "pack_sequences",
-    "pivot_metrics",
+    "chunk_dedup",
+    "orientation_scan",
+    # absent from CORRECTNESS_r03 (r01/r02-certified, due for recheck)
+    "top1_per_key",
+    "semi_anti",
+    "pairs_self_join",
+    "dedup_exact",
+    "rlike_filter",
+    "unpivot_eav",
+    "sigfig",
+    "text_heuristics",
+    "dup_3gram",
+    "langid_confusion",
+    "langid_nb_confusion",
+    "token_count",
+    "fingerprint",
+    "quality_keep",
+    "unigram_ppl",
+    "minhash_signatures",
+    "simhash16",
+    "jaccard_pairs",
+    "cosine_topk",
+    "ann_lsh_buckets",
+    "rolling_range",
+    "max_stalta",
+    "spikes_hampel",
+    "argmax_peak",
+    "ols_resid",
+    "piecewise_model",
+    "cube_totals",
+    "state_flags",
+    "rollup_periods",
+    "glob_subset",
+    "epoch_overlap",
+    "geo_radius",
+    "snr_window",
+    "merge_upsert",
+    "cosine_neardup",
+    "ivf_topk",
+    "minhash_lsh_neardup",
+    "sncl_reorder",
+    "cogroup_xcorr",
+    "xcorr_collected",
+    "udtf_repeated_ngrams",
 ]
 
 
