@@ -122,6 +122,8 @@ BENCH_QUERIES = (
     "hash_embed",
     "embed_ivf_chain",
     "substring_dedup",
+    "dup_cluster_hist",
+    "weighted_sample",
 )
 
 

@@ -5605,6 +5605,108 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "dup_cluster_hist",
+    """
+    WITH c AS (
+      SELECT md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS sig,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_redundant
+    FROM c GROUP BY sz
+    """,
+)
+def q_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate cluster-size histogram over the 8-word prefix fingerprint
+    (the same signature `source_overlap` joins on — boilerplate openings
+    cluster long before whole documents match byte-for-byte) — the
+    power-law audit run before choosing dedup policy: web corpora
+    concentrate most duplicated bytes in a few huge clusters, and the
+    histogram says whether keep-one dedup or domain capping is the binding
+    lever. n_redundant is the row count a keep-first dedup on this
+    signature would remove.
+
+    Scale shape: corpus collapses to (16-byte sig, count) with map-side
+    combine — text never shuffles; the second aggregate is over cluster
+    rows and its output is bounded by the largest cluster size. Grafts the
+    reference's PDF aggregation-by-bin counting (PDF_aggregator.py:28-70)
+    onto content signatures."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sig = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 8), " "))
+    clusters = d.groupBy(sig.alias("sig")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_redundant"),
+    )
+
+
+_WS_K = 50  # weighted-sample size
+
+
+@qdef(
+    "weighted_sample",
+    f"""
+    WITH u AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1) / 4294967297.0 AS uni
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, source, n_chars,
+           round(pow(uni, 1.0 / greatest(n_chars, 1)), 6) AS priority
+    FROM u
+    ORDER BY pow(uni, 1.0 / greatest(n_chars, 1)) DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES priority sampling): each doc gets priority
+    u^(1/w) with u a hash-uniform in (0,1] derived from md5(doc_id) and w
+    its weight (chars here; quality score in production) — the global
+    top-k by priority IS a weighted sample without replacement. This is
+    the weighted companion to `stratified_sample`'s unweighted hash gate:
+    the standard primitive for length- or quality-proportional corpus
+    down-sampling, reproducible across retries because the randomness is
+    a pure function of doc_id.
+
+    Scale shape: priorities are map-side expressions (no RNG state, no
+    shuffle); the global top-k is TakeOrdered (per-partition heaps, k-row
+    driver merge) — the corpus never exchanges. Grafts the reference's
+    deterministic snippet selection (simple_metrics.py sampling of
+    windows) as a corpus-level policy."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    uni = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    prio = F.pow(uni, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            prio.alias("p_raw"),
+        )
+        .orderBy(F.desc("p_raw"), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id", "source", "n_chars", r6(F.col("p_raw")).alias("priority")
+        )
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================
@@ -5621,6 +5723,8 @@ _DRIVER_PRIORITY: list[str] = [
     "hash_embed",
     "embed_ivf_chain",
     "substring_dedup",
+    "dup_cluster_hist",
+    "weighted_sample",
     # round-4 changed implementations (r03 rows are stale for these)
     "pack_sequences",
     "chunk_dedup",
