@@ -101,3 +101,58 @@ def test_dataframe_merge_matches_duckdb_and_is_idempotent(spark):
     # the reference's rerun-a-day contract (ispaq/utils.py:157-272).
     again = dataframe_merge(merged, batch, KEYS)
     assert sorted(tuple(r) for r in again.collect()) == got
+
+
+class _RecordingSink(CatalogMergeSink):
+    """CatalogMergeSink with the runtime probe bypassed and spark.sql
+    recorded — lets the statement SEQUENCE the sink would send a real
+    catalog be asserted in a container that ships no catalog jar."""
+
+    def __init__(self, spark, table):  # noqa: D401 — test double
+        self.spark = _SqlRecorder(spark)
+        self.table = table
+        self.key_cols = ["target", "start", "end"]
+
+
+class _SqlRecorder:
+    def __init__(self, spark):
+        self._spark = spark
+        self.statements: list[str] = []
+
+    def sql(self, stmt: str):
+        self.statements.append(stmt)  # do not execute: no catalog here
+
+    @property
+    def catalog(self):
+        return self._spark.catalog
+
+
+def test_catalog_merge_replaces_batch_ds_partitions(spark):
+    """MetricSink.merge must REPLACE the batch's ds partitions: the sink
+    has to scope a DELETE to the batch's ds values BEFORE the MERGE (a
+    key-grain MERGE alone strands rows that vanished from a recomputed
+    day), and register the batch under a per-call unique view name."""
+    batch = spark.createDataFrame(
+        [("2024-01-01", "m1", 0, 10, 1.0)],
+        "ds string, target string, start int, end int, value double",
+    )
+    sink = _RecordingSink(spark, "cat.metrics")
+    sink.merge(batch)
+    stmts = sink.spark.statements
+    assert len(stmts) == 2
+    delete, merge = stmts
+    assert delete.startswith("DELETE FROM cat.metrics WHERE ds IN")
+    assert "MERGE INTO cat.metrics" in merge
+    view = delete.split("DISTINCT ds FROM ")[1].rstrip(")")
+    assert view.startswith("_ispaq_merge_batch_") and len(view) > 25
+    assert f"USING {view}" in merge
+    # the temp view is dropped after the statements run
+    assert not any(
+        v.name == view for v in spark.catalog.listTables() if v.isTemporary
+    )
+
+    # a second merge must use a DIFFERENT view name (concurrency safety)
+    sink2 = _RecordingSink(spark, "cat.metrics")
+    sink2.merge(batch)
+    view2 = sink2.spark.statements[0].split("DISTINCT ds FROM ")[1].rstrip(")")
+    assert view2 != view
