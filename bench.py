@@ -124,6 +124,7 @@ BENCH_QUERIES = (
     "substring_dedup",
     "dup_cluster_hist",
     "weighted_sample",
+    "intradoc_dedup",
 )
 
 

@@ -2660,6 +2660,123 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "intradoc_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL
+    ), g AS (
+      SELECT doc_id, ws,
+             list_transform(range(0, greatest(len(ws) - 2, 0)),
+                            i -> array_to_string(ws[i + 1 : i + 3], ' '))
+               AS gs
+      FROM w
+    ), r AS (
+      SELECT doc_id, ws,
+             list_filter(range(0, len(gs)),
+                         i -> list_position(gs, gs[i + 1]) != i + 1)
+               AS repstarts
+      FROM g
+    ), x AS (
+      SELECT doc_id, ws, repstarts,
+             list_distinct(flatten(
+               list_transform(repstarts, i -> range(i, i + 3)))) AS rem
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(repstarts) AS BIGINT) AS n_repeat_grams,
+           CAST(len(rem) AS BIGINT) AS n_removed,
+           array_to_string(
+             list_transform(
+               list_filter(range(0, len(ws)),
+                           t -> NOT list_contains(rem, t)),
+               t -> ws[t + 1]),
+             ' ') AS clean_text
+    FROM x
+    """,
+)
+def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal — the removal companion to
+    `dup_3gram`'s repetition SCORE (Gopher's dup_ngram_fraction): every
+    token covered by a 3-gram whose first occurrence in the SAME document
+    is earlier gets dropped, collapsing looping boilerplate (nav menus,
+    keyword stuffing) while the first copy survives. Runs before
+    corpus-level dedup in a real pipeline, so it's certified as its own
+    stage.
+
+    Scale shape: ZERO exchanges — the whole operator is per-row Catalyst
+    array expressions (gate in tests/test_plans.py), so it composes into
+    any stage without a barrier and scales embarrassingly. Per-doc cost is
+    O(len²) from the first-occurrence array_position probe — bounded by
+    the doc-length cap upstream quality filters enforce; for unbounded
+    docs the same semantics hash-buckets inside one Arrow UDF. The gram
+    array is materialized as a real column first: interpreted HOFs
+    re-evaluate closed-over EXPRESSIONS per element (the O(n²)-HOF lesson
+    in BENCH/BASELINE.md), but a column reference is evaluated once.
+    Grafts the reference's within-trace repeat collapse
+    (ispaq/utils.py:404-431 duplicate-row pruning) at token grain."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = d.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    starts = F.when(
+        n >= 3, F.sequence(F.lit(0), n - 3)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    g = words.withColumn(
+        "gs",
+        F.transform(
+            starts, lambda i: F.array_join(F.slice("ws", i + 1, 3), " ")
+        ),
+    )
+    r = g.withColumn(
+        "repstarts",
+        F.filter(
+            F.sequence(F.lit(0), F.size("gs") - 1),
+            lambda i: F.array_position(
+                F.col("gs"), F.element_at("gs", i + 1)
+            )
+            != (i + 1).cast("bigint"),
+        ),
+    ).where(F.size("gs") > 0)
+    # docs with < 3 tokens have no grams; sequence(0, size(gs)-1) on an
+    # empty gs would descend, so those rows take the trivial branch.
+    trivial = g.where(F.size("gs") == 0).select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_repeat_grams"),
+        F.lit(0).cast("bigint").alias("n_removed"),
+        F.array_join("ws", " ").alias("clean_text"),
+    )
+    x = r.withColumn(
+        "rem",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "repstarts", lambda i: F.sequence(i, i + 2)
+                )
+            )
+        ),
+    )
+    full = x.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.size("repstarts").cast("bigint").alias("n_repeat_grams"),
+        F.size("rem").cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(0), F.size("ws") - 1),
+                    lambda t: ~F.array_contains(F.col("rem"), t),
+                ),
+                lambda t: F.element_at("ws", t + 1),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return full.unionByName(trivial)
+
+
 _CC_JACCARD = 0.8  # near-dup edge threshold for component clustering
 
 
@@ -5725,6 +5842,7 @@ _DRIVER_PRIORITY: list[str] = [
     "substring_dedup",
     "dup_cluster_hist",
     "weighted_sample",
+    "intradoc_dedup",
     # round-4 changed implementations (r03 rows are stale for these)
     "pack_sequences",
     "chunk_dedup",

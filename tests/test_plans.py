@@ -163,6 +163,15 @@ def test_chunk_dedup_ranks_on_hash_key(spark):
     assert plan.count("Exchange") <= 5
 
 
+def test_intradoc_dedup_zero_exchanges(spark):
+    """Within-document repetition removal is pure per-row array algebra:
+    the plan must contain NO exchange of any kind — it composes into any
+    pipeline stage without a barrier."""
+    plan = plan_of(dq.queries()["intradoc_dedup"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
 def test_substring_dedup_ranks_on_hash_key(spark):
     """Sliding-gram substring dedup: like chunk_dedup, the first-occurrence
     ranking exchange must carry the 8-byte gram hash, never the gram
