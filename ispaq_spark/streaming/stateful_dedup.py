@@ -77,7 +77,7 @@ def run_dedup_once(spark, source_dir: str, checkpoint_dir: str, out_dir: str):
     sink; rerunning with the same checkpoint restores the seen-hash state,
     so duplicates arriving in LATER runs are still dropped. Read results
     with spark.read.parquet(out_dir)."""
-    from .stream_pipeline import streaming_pages
+    from .stream_pipeline import _await_drained, streaming_pages
 
     out = dedup_stream(streaming_pages(spark, source_dir))
     q = (
@@ -88,5 +88,52 @@ def run_dedup_once(spark, source_dir: str, checkpoint_dir: str, out_dir: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, 300)
+    return q
+
+
+def dedup_within_watermark(
+    pages_stream: DataFrame, horizon: str = "2 days"
+) -> DataFrame:
+    """Bounded-state streaming dedup via the built-in
+    `dropDuplicatesWithinWatermark`: a page is dropped if a page with the
+    same content hash arrived within the watermark horizon — the crawl
+    re-fetch suppressor. Unlike `dedup_stream` (whose seen-hash state
+    grows forever — the exact-once-EVER contract), the state store here
+    EVICTS hashes older than the horizon, so state size is bounded by the
+    distinct-content arrival rate times the horizon: the form that runs
+    indefinitely at crawl scale. A re-crawl after the horizon re-emits —
+    by design (content that old is re-scored anyway).
+
+    Emits the surviving pages themselves (full rows), not a digest —
+    this stage slots in FRONT of the streaming metric pipeline."""
+    return (
+        pages_stream.where(F.col("text").isNotNull())
+        .withColumn("chash", F.md5("text"))
+        .withWatermark("warc_ts", horizon)
+        .dropDuplicatesWithinWatermark(["chash"])
+    )
+
+
+def run_watermark_dedup_once(
+    spark, source_dir: str, checkpoint_dir: str, out_dir: str,
+    horizon: str = "2 days",
+):
+    """Drain available input through the watermark-bounded dedup into a
+    parquet sink (append mode; the operator emits each survivor exactly
+    once)."""
+    from .stream_pipeline import _await_drained, streaming_pages
+
+    out = dedup_within_watermark(
+        streaming_pages(spark, source_dir), horizon
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q, 300)
     return q

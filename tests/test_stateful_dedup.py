@@ -43,3 +43,33 @@ def test_dedup_across_restarts(spark):
     # nothing from the duplicated first 60 docs was emitted twice
     assert len(got2) == len(hashes2)  # no hash ever emitted twice
     assert hashes1 < hashes2  # strictly grew by the new docs
+
+
+def test_dedup_within_watermark_bounded_state(spark):
+    """The dropDuplicatesWithinWatermark form: duplicates arriving within
+    the horizon are dropped across micro-batches, each survivor is emitted
+    exactly once, and the checkpoint carries the state across a restart."""
+    from ispaq_spark.streaming.stateful_dedup import run_watermark_dedup_once
+
+    src = tempfile.mkdtemp(prefix="wdedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="wdedup_ckpt_")
+    out = tempfile.mkdtemp(prefix="wdedup_out_") + "/result"
+
+    pages_df(spark, 60, partitions=2).write.mode("append").parquet(src)
+    run_watermark_dedup_once(spark, src, ckpt, out, horizon="365 days")
+    got1 = spark.read.parquet(out).collect()
+    n_distinct = (
+        pages_df(spark, 60)
+        .where(F.col("text").isNotNull())
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert len({r["chash"] for r in got1}) == len(got1) == n_distinct
+
+    # restart with pure duplicates: nothing new may be emitted (all within
+    # the 365-day horizon of the synthesized warc_ts range)
+    pages_df(spark, 60, partitions=2).write.mode("append").parquet(src)
+    run_watermark_dedup_once(spark, src, ckpt, out, horizon="365 days")
+    got2 = spark.read.parquet(out).collect()
+    assert len(got2) == len(got1)
