@@ -163,6 +163,27 @@ def test_chunk_dedup_ranks_on_hash_key(spark):
     assert plan.count("Exchange") <= 5
 
 
+def test_weighted_sample_is_takeordered_no_shuffle(spark):
+    """A-ES priority sampling must be map-side priorities + a global top-k
+    (TakeOrdered): zero hash exchanges — the corpus never moves."""
+    plan = plan_of(dq.queries()["weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_dup_cluster_hist_never_shuffles_text(spark):
+    """Both aggregates of the cluster-size histogram shuffle hashes and
+    counts only: no exchange key or exchange input may carry the text
+    column (the md5 collapses it map-side)."""
+    import re
+
+    plan = plan_of(dq.queries()["dup_cluster_hist"](spark, SF_DIR))
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in keys, keys
+    # partial aggregate (map-side md5+count) below the first exchange
+    assert plan.count("HashAggregate") >= 4  # partial/final x 2 aggs
+
+
 def test_intradoc_dedup_zero_exchanges(spark):
     """Within-document repetition removal is pure per-row array algebra:
     the plan must contain NO exchange of any kind — it composes into any
