@@ -158,9 +158,16 @@ class CatalogMergeSink(MetricSink):
     def merge(self, metrics: DataFrame) -> None:
         import uuid
 
-        value_cols = [
-            c for c in metrics.columns if c not in self.key_cols
-        ]
+        # ds joins the MERGE key when present: without it a batch row can
+        # MATCH a row in a DIFFERENT ds partition (the DELETE below already
+        # cleared the batch's own ds values, so any MATCH would be
+        # cross-partition by construction) and UPDATE would rewrite that
+        # partition's row — violating the "leave every other partition
+        # untouched" contract.
+        key_cols = list(self.key_cols)
+        if "ds" in metrics.columns and "ds" not in key_cols:
+            key_cols = ["ds"] + key_cols
+        value_cols = [c for c in metrics.columns if c not in key_cols]
         # Per-call unique view name: a fixed session-global name lets two
         # sinks (or concurrent merges) in one SparkSession clobber each
         # other's source view mid-statement.
@@ -177,12 +184,24 @@ class CatalogMergeSink(MetricSink):
                 # MERGE then (re)inserts the batch. A crash between the two
                 # statements leaves the day physically empty, which
                 # partition_complete reports as incomplete -> recompute.
-                self.spark.sql(
-                    f"DELETE FROM {self.table} WHERE ds IN "
-                    f"(SELECT DISTINCT ds FROM {view})"
+                # The ds values are collected ONCE driver-side (day grain,
+                # a handful of strings): an uncollected subquery over the
+                # view would re-execute the whole batch plan for the
+                # DELETE and again for the MERGE — and could even disagree
+                # between the two if any stage were nondeterministic.
+                ds_vals = sorted(
+                    r["ds"]
+                    for r in metrics.select("ds").distinct().collect()
                 )
+                quoted = ", ".join(
+                    "'" + str(v).replace("'", "''") + "'" for v in ds_vals
+                )
+                if quoted:
+                    self.spark.sql(
+                        f"DELETE FROM {self.table} WHERE ds IN ({quoted})"
+                    )
             self.spark.sql(
-                merge_into_sql(self.table, view, self.key_cols, value_cols)
+                merge_into_sql(self.table, view, key_cols, value_cols)
             )
         finally:
             self.spark.catalog.dropTempView(view)

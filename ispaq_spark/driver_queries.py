@@ -2585,10 +2585,10 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring removal, the suffix-array dedup of Lee
     et al. 2022 ("Deduplicating Training Data Makes Language Models
     Better") re-expressed relationally: a token is removed iff it lies
-    inside a >= {_SUB_W}-token substring that already occurred earlier in
-    the corpus. The sliding {_SUB_W}-gram grid makes that exact — every
-    token of an L >= {_SUB_W} duplicated run is covered by some duplicated
-    {_SUB_W}-gram inside the run, and only such tokens are. Keep-first:
+    inside a >= 8-token substring that already occurred earlier in
+    the corpus. The sliding 8-gram grid makes that exact — every
+    token of an L >= 8 duplicated run is covered by some duplicated
+    8-gram inside the run, and only such tokens are. Keep-first:
     the rank over (doc_id, pos) leaves the earliest copy intact. This is
     the stronger cousin of `chunk_dedup`'s fixed grid (which misses
     duplicates straddling chunk boundaries).
@@ -2596,7 +2596,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: grams explode map-side and are hashed to 8 bytes BEFORE
     the first-occurrence ranking shuffle (xxhash64, same collision caveat
     as `chunk_dedup` — the string-ranked oracle certifies the semantics);
-    covered positions are (doc_id, int) pairs, <= {_SUB_W} x duplicate
+    covered positions are (doc_id, int) pairs, <= 8 x duplicate
     occurrences; reassembly joins the removed-index SET back to the word
     arrays on doc_id, so document text crosses the wire exactly once.
     Suffix arrays need a global sort of every suffix — this form needs one
@@ -2645,7 +2645,9 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idxs = F.sequence(
         F.lit(0).cast("bigint"), (F.size("ws") - 1).cast("bigint")
     )
-    kept = F.filter(idxs, lambda i: ~F.array_contains(F.col("rem"), i))
+    # linear ordered set-difference: filter+array_contains would cost
+    # O(n_tokens * n_removed) per doc on boilerplate-heavy documents
+    kept = F.array_except(idxs, F.col("rem"))
     return joined.select(
         "doc_id",
         F.size("ws").cast("bigint").alias("n_tokens"),
@@ -2765,9 +2767,9 @@ def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("rem").cast("bigint").alias("n_removed"),
         F.array_join(
             F.transform(
-                F.filter(
-                    F.sequence(F.lit(0), F.size("ws") - 1),
-                    lambda t: ~F.array_contains(F.col("rem"), t),
+                # linear ordered set-difference (see substring_dedup)
+                F.array_except(
+                    F.sequence(F.lit(0), F.size("ws") - 1), F.col("rem")
                 ),
                 lambda t: F.element_at("ws", t + 1),
             ),
@@ -3402,8 +3404,8 @@ _PACK_BUCKET_DOCS = 128  # docs per packing window partition (bounds skew)
       FROM toks
     )
     SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(bkt * 4294967296
-                + floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT)
+           bkt * 4294967296
+             + CAST(floor((cum - n_tokens) / {_PACK_BUDGET}) AS BIGINT)
              AS pack_id
     FROM runs
     """,
@@ -4863,10 +4865,10 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _hash_embed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text -> L2-normalized {_EMB_K}-dim embedding columns
+    """documents.text -> L2-normalized 8-dim (_EMB_K) embedding columns
     (e0..e7), deterministic and engine-independent:
 
-      feature(w) = int(md5(w)[:4], 16) % D     (hashed TF buckets)
+      feature(w) = int(md5(w)[:4], 16) % 64 (_EMB_D)     (hashed TF buckets)
       sign(f, j) = +-1 from md5(f + '_' + j)    (sign random projection)
       e_j = sum_f tf(f) * sign(f, j), L2-normalized, rounded to 6 dp
 

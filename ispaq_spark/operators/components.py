@@ -70,9 +70,10 @@ def label_propagation_components(
     )
     prev_sum = None
     converged = False
-    # max_iter + 1: observing the fixed point costs one extra (unchanged)
-    # round, so a graph needing exactly max_iter propagation rounds must
-    # not exhaust the budget on the observation itself.
+    # max_iter + 1 rounds run in the worst case: detecting the fixed point
+    # costs one full extra propagation round whose labels don't change, so
+    # a graph needing exactly max_iter productive rounds must not exhaust
+    # the budget on that detection round.
     for _ in range(max_iter + 1):
         neighbor_min = (
             labels.join(e, labels.n == e.a)
@@ -92,8 +93,9 @@ def label_propagation_components(
         # Diameter > max_iter would silently yield split components;
         # surface it instead of returning wrong labels.
         raise RuntimeError(
-            f"label propagation did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter); raise max_iter or use "
+            f"label propagation did not converge in {max_iter + 1} rounds "
+            f"(max_iter={max_iter} productive + 1 detection; graph "
+            "diameter exceeds max_iter); raise max_iter or use "
             "alternating_star_components (O(log d) rounds)"
         )
     return labels.select(F.col("n").alias("node"), F.col("c").alias("comp"))
@@ -164,7 +166,8 @@ def alternating_star_components(
         prev_sig = sig
     if not converged:
         raise RuntimeError(
-            f"star alternation did not converge in {max_iter} rounds"
+            f"star alternation did not converge in {max_iter + 1} rounds "
+            f"(max_iter={max_iter} productive + 1 detection)"
         )
     # Fixed point: e holds (member, root) star edges. Roots map to
     # themselves; nodes that lost all edges along the way (possible only

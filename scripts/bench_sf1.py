@@ -116,9 +116,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.isdir(f"{OUT_DIR}/documents.parquet"):
+    # completion marker, not a table probe: a crash mid-build leaves some
+    # tables written and later runs must NOT silently reuse the partial set
+    marker = f"{OUT_DIR}/_BUILD_COMPLETE"
+    if not os.path.exists(marker):
         t0 = time.time()
         build_scaled(spark)
+        with open(marker, "w") as f:
+            f.write(f"replicas={REPLICAS} src={SRC_DIR}\n")
         print(f"# built {OUT_DIR} in {time.time() - t0:.1f}s", flush=True)
 
     qs = dq.queries()

@@ -141,11 +141,14 @@ def test_catalog_merge_replaces_batch_ds_partitions(spark):
     stmts = sink.spark.statements
     assert len(stmts) == 2
     delete, merge = stmts
-    assert delete.startswith("DELETE FROM cat.metrics WHERE ds IN")
+    # the DELETE is scoped to the batch's literal ds values, collected once
+    assert delete == "DELETE FROM cat.metrics WHERE ds IN ('2024-01-01')"
     assert "MERGE INTO cat.metrics" in merge
-    view = delete.split("DISTINCT ds FROM ")[1].rstrip(")")
+    # ds joins the MERGE key (a cross-partition MATCH must be impossible)
+    assert "t.ds = s.ds" in merge.split("WHEN MATCHED")[0]
+    assert "SET t.ds" not in merge  # ds is a key, never an updated value
+    view = merge.split("USING ")[1].split()[0]
     assert view.startswith("_ispaq_merge_batch_") and len(view) > 25
-    assert f"USING {view}" in merge
     # the temp view is dropped after the statements run
     assert not any(
         v.name == view for v in spark.catalog.listTables() if v.isTemporary
@@ -154,5 +157,5 @@ def test_catalog_merge_replaces_batch_ds_partitions(spark):
     # a second merge must use a DIFFERENT view name (concurrency safety)
     sink2 = _RecordingSink(spark, "cat.metrics")
     sink2.merge(batch)
-    view2 = sink2.spark.statements[0].split("DISTINCT ds FROM ")[1].rstrip(")")
+    view2 = sink2.spark.statements[1].split("USING ")[1].split()[0]
     assert view2 != view
