@@ -70,6 +70,7 @@ def merge_into_sql(
     source: str,
     key_cols: list[str],
     value_cols: list[str],
+    replace_scope: tuple[str, list] | None = None,
 ) -> str:
     """MERGE INTO text for the (target, start, end)-keyed metric upsert.
 
@@ -77,18 +78,38 @@ def merge_into_sql(
     (e.g. createOrReplaceTempView of the new batch). Matched keys update
     every value column; unmatched keys insert — rerunning the same batch
     is a no-op, the reference's idempotency contract
-    (ispaq/utils.py:157-272)."""
+    (ispaq/utils.py:157-272).
+
+    `replace_scope=(col, values)` adds
+    `WHEN NOT MATCHED BY SOURCE AND t.col IN (values) THEN DELETE`
+    (Spark 3.4+ / Iceberg / Delta), turning the upsert into an atomic
+    partition REPLACE for exactly those partitions: target rows in the
+    scoped partitions that the batch no longer carries are deleted in the
+    SAME commit that upserts the batch. One statement, one snapshot — a
+    failure anywhere leaves the table untouched, so readers never observe
+    a deleted-but-not-yet-merged day (the failure mode a separate
+    DELETE-then-MERGE sequence has)."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
     sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
     cols = ", ".join(key_cols + value_cols)
     vals = ", ".join(f"s.{c}" for c in key_cols + value_cols)
-    return (
+    stmt = (
         f"MERGE INTO {target} t\n"
         f"USING {source} s\n"
         f"ON {on}\n"
         f"WHEN MATCHED THEN UPDATE SET {sets}\n"
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     )
+    if replace_scope is not None:
+        col, values = replace_scope
+        quoted = ", ".join(
+            "'" + str(v).replace("'", "''") + "'" for v in values
+        )
+        stmt += (
+            f"\nWHEN NOT MATCHED BY SOURCE AND t.{col} IN ({quoted}) "
+            f"THEN DELETE"
+        )
+    return stmt
 
 
 def dataframe_merge(
@@ -159,49 +180,55 @@ class CatalogMergeSink(MetricSink):
         import uuid
 
         # ds joins the MERGE key when present: without it a batch row can
-        # MATCH a row in a DIFFERENT ds partition (the DELETE below already
-        # cleared the batch's own ds values, so any MATCH would be
-        # cross-partition by construction) and UPDATE would rewrite that
-        # partition's row — violating the "leave every other partition
-        # untouched" contract.
+        # MATCH a row in a DIFFERENT ds partition and UPDATE would rewrite
+        # that partition's row — violating the "leave every other
+        # partition untouched" contract.
         key_cols = list(self.key_cols)
         if "ds" in metrics.columns and "ds" not in key_cols:
             key_cols = ["ds"] + key_cols
         value_cols = [c for c in metrics.columns if c not in key_cols]
+        # Pin ONE materialization of the batch before any use of it: the
+        # ds scope below is collected from an execution of the plan and
+        # the MERGE re-reads the same view — without the pin a
+        # nondeterministic stage could insert ds values the scope never
+        # covered, leaving stale rows in partitions the replace was
+        # supposed to clear.
+        metrics = metrics.localCheckpoint(eager=True)
         # Per-call unique view name: a fixed session-global name lets two
         # sinks (or concurrent merges) in one SparkSession clobber each
         # other's source view mid-statement.
         view = f"_ispaq_merge_batch_{uuid.uuid4().hex}"
         metrics.createOrReplaceTempView(view)
         try:
+            replace_scope = None
             if "ds" in metrics.columns:
                 # MetricSink.merge must REPLACE the batch's ds partitions
                 # (sinks.py:46-49): a key-grain MERGE alone never deletes
                 # rows absent from a recomputed day (doc removed, metric
                 # dropped), so stale rows would survive while
-                # commit_snapshot marks the day's fingerprint green. Scope
-                # a delete to exactly the batch's ds values first; the
-                # MERGE then (re)inserts the batch. A crash between the two
-                # statements leaves the day physically empty, which
-                # partition_complete reports as incomplete -> recompute.
-                # The ds values are collected ONCE driver-side (day grain,
-                # a handful of strings): an uncollected subquery over the
-                # view would re-execute the whole batch plan for the
-                # DELETE and again for the MERGE — and could even disagree
-                # between the two if any stage were nondeterministic.
+                # commit_snapshot marks the day's fingerprint green. The
+                # replace rides the SAME MERGE statement as a
+                # WHEN NOT MATCHED BY SOURCE ... THEN DELETE clause scoped
+                # to exactly the batch's ds values — one atomic commit, so
+                # a MERGE failure of any kind (analyzer error, OOM, schema
+                # drift, crash) leaves the previous day intact instead of
+                # deleted-and-empty. The ds values are collected ONCE
+                # driver-side from the pinned batch (day grain, a handful
+                # of strings).
                 ds_vals = sorted(
                     r["ds"]
                     for r in metrics.select("ds").distinct().collect()
                 )
-                quoted = ", ".join(
-                    "'" + str(v).replace("'", "''") + "'" for v in ds_vals
-                )
-                if quoted:
-                    self.spark.sql(
-                        f"DELETE FROM {self.table} WHERE ds IN ({quoted})"
-                    )
+                if ds_vals:
+                    replace_scope = ("ds", ds_vals)
             self.spark.sql(
-                merge_into_sql(self.table, view, key_cols, value_cols)
+                merge_into_sql(
+                    self.table,
+                    view,
+                    key_cols,
+                    value_cols,
+                    replace_scope=replace_scope,
+                )
             )
         finally:
             self.spark.catalog.dropTempView(view)
@@ -227,9 +254,10 @@ class CatalogMergeSink(MetricSink):
         )
 
     def partition_complete(self, ds: str) -> bool:
-        # merge() is DELETE + MERGE (two commits); a crash between them
-        # leaves the day's partition empty, which this reports as
-        # incomplete so run_resumable recomputes it.
+        # merge() is one atomic MERGE (upsert + scoped BY SOURCE delete in
+        # a single commit), so a failed merge leaves the day's previous
+        # rows intact; this probe covers the remaining gap — a day whose
+        # merge never ran at all — so run_resumable recomputes it.
         return (
             self.spark.table(self.table)
             .where(F.col("ds") == ds)

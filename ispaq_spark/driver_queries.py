@@ -2731,18 +2731,26 @@ def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             starts, lambda i: F.array_join(F.slice("ws", i + 1, 3), " ")
         ),
     )
+    # Self-guarding index sequence: on an empty gs, sequence(0, size-1)
+    # would descend to [0,-1] and element_at(gs, 1) would throw, so the
+    # empty case takes an empty-array branch INSIDE the expression —
+    # correctness must not depend on Catalyst pushing the size(gs) > 0
+    # filter below this projection.
+    gidx = F.when(
+        F.size("gs") > 0, F.sequence(F.lit(0), F.size("gs") - 1)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     r = g.withColumn(
         "repstarts",
         F.filter(
-            F.sequence(F.lit(0), F.size("gs") - 1),
+            gidx,
             lambda i: F.array_position(
                 F.col("gs"), F.element_at("gs", i + 1)
             )
             != (i + 1).cast("bigint"),
         ),
     ).where(F.size("gs") > 0)
-    # docs with < 3 tokens have no grams; sequence(0, size(gs)-1) on an
-    # empty gs would descend, so those rows take the trivial branch.
+    # docs with < 3 tokens have no grams; those rows take the trivial
+    # branch below.
     trivial = g.where(F.size("gs") == 0).select(
         "doc_id",
         F.size("ws").cast("bigint").alias("n_tokens"),
@@ -4689,10 +4697,11 @@ _ANN_RECALL_SQL = """
       SELECT b.qid, CAST(count(*) AS BIGINT) AS n_overlap
       FROM brute b JOIN ivf USING (qid, vec_id) GROUP BY b.qid
     )
-    SELECT nc.qid, nc.n_candidates,
+    SELECT q.qid,
+           COALESCE(nc.n_candidates, 0)::BIGINT AS n_candidates,
            COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
            round(COALESCE(ov.n_overlap, 0) / 10.0, 6) AS recall_at_10
-    FROM nc LEFT JOIN ov ON nc.qid = ov.qid
+    FROM q LEFT JOIN nc ON q.qid = nc.qid LEFT JOIN ov ON q.qid = ov.qid
     """
 
 
@@ -4786,13 +4795,26 @@ def _ann_recall_impl(
     ov = brute.join(F.broadcast(ivf), ["qid", "vec_id"]).groupBy("qid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlap")
     )
-    return nc.join(F.broadcast(ov), "qid", "left").select(
-        "qid",
-        "n_candidates",
-        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-        r6(F.coalesce("n_overlap", F.lit(0)) / F.lit(10.0)).alias(
-            "recall_at_10"
-        ),
+    # The output is driven from the QUERY table, not from nc: a query
+    # whose probed cells hold no candidate but itself must still emit a
+    # row (n_candidates=0, recall 0) — the worst-case recall row is the
+    # one the evaluation exists to surface.
+    return (
+        q.select("qid")
+        .join(F.broadcast(nc), "qid", "left")
+        .join(F.broadcast(ov), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("n_overlap", F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            r6(F.coalesce("n_overlap", F.lit(0)) / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
     )
 
 
@@ -5012,10 +5034,11 @@ _CHAIN_SQL = f"""
       SELECT b.qid, CAST(count(*) AS BIGINT) AS n_overlap
       FROM brute b JOIN ivf USING (qid, doc_id) GROUP BY b.qid
     )
-    SELECT nc.qid, nc.n_candidates,
+    SELECT q.qid,
+           COALESCE(nc.n_candidates, 0)::BIGINT AS n_candidates,
            COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
            round(COALESCE(ov.n_overlap, 0) / 5.0, 6) AS recall_at_5
-    FROM nc LEFT JOIN ov ON nc.qid = ov.qid
+    FROM q LEFT JOIN nc ON q.qid = nc.qid LEFT JOIN ov ON q.qid = ov.qid
 """
 
 
@@ -5141,13 +5164,24 @@ def q_embed_ivf_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
     )
-    return nc.join(F.broadcast(ov), "qid", "left").select(
-        "qid",
-        "n_candidates",
-        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-        r6(F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias(
-            "recall_at_5"
-        ),
+    # Driven from the query table so a query with an empty candidate set
+    # still reports n_candidates=0 / recall 0 (see _ann_recall_impl).
+    return (
+        qv.select("qid")
+        .join(F.broadcast(nc), "qid", "left")
+        .join(F.broadcast(ov), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("n_overlap", F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            r6(F.coalesce("n_overlap", F.lit(0)) / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
     )
 
 
@@ -5781,7 +5815,7 @@ _WS_K = 50  # weighted-sample size
     SELECT doc_id, source, n_chars,
            round(pow(uni, 1.0 / greatest(n_chars, 1)), 6) AS priority
     FROM u
-    ORDER BY pow(uni, 1.0 / greatest(n_chars, 1)) DESC, doc_id
+    ORDER BY round(pow(uni, 1.0 / greatest(n_chars, 1)), 6) DESC, doc_id
     LIMIT {_WS_K}
     """,
 )
@@ -5811,18 +5845,19 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1
     ) / F.lit(4294967297.0)
     prio = F.pow(uni, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    # The top-k cut orders on the 6-dp-ROUNDED priority with doc_id
+    # tiebreak (the repo's round-before-argmax convention): Java Math.pow
+    # and libm pow can differ by 1 ulp, so a raw-double boundary could
+    # pick different rows per engine at a near-tie.
     return (
         d.select(
             "doc_id",
             "source",
             F.col("n_chars").cast("bigint").alias("n_chars"),
-            prio.alias("p_raw"),
+            r6(prio).alias("priority"),
         )
-        .orderBy(F.desc("p_raw"), "doc_id")
+        .orderBy(F.desc("priority"), "doc_id")
         .limit(_WS_K)
-        .select(
-            "doc_id", "source", "n_chars", r6(F.col("p_raw")).alias("priority")
-        )
     )
 
 

@@ -128,10 +128,12 @@ class _SqlRecorder:
 
 
 def test_catalog_merge_replaces_batch_ds_partitions(spark):
-    """MetricSink.merge must REPLACE the batch's ds partitions: the sink
-    has to scope a DELETE to the batch's ds values BEFORE the MERGE (a
-    key-grain MERGE alone strands rows that vanished from a recomputed
-    day), and register the batch under a per-call unique view name."""
+    """MetricSink.merge must REPLACE the batch's ds partitions ATOMICALLY:
+    one MERGE statement whose WHEN NOT MATCHED BY SOURCE clause deletes
+    exactly the batch's ds values (a key-grain MERGE alone strands rows
+    that vanished from a recomputed day; a separate DELETE-then-MERGE
+    leaves a deleted-and-empty day if the MERGE fails), registered under a
+    per-call unique view name."""
     batch = spark.createDataFrame(
         [("2024-01-01", "m1", 0, 10, 1.0)],
         "ds string, target string, start int, end int, value double",
@@ -139,10 +141,14 @@ def test_catalog_merge_replaces_batch_ds_partitions(spark):
     sink = _RecordingSink(spark, "cat.metrics")
     sink.merge(batch)
     stmts = sink.spark.statements
-    assert len(stmts) == 2
-    delete, merge = stmts
-    # the DELETE is scoped to the batch's literal ds values, collected once
-    assert delete == "DELETE FROM cat.metrics WHERE ds IN ('2024-01-01')"
+    assert len(stmts) == 1  # one atomic commit — no separate DELETE
+    merge = stmts[0]
+    # the replace is scoped to the batch's literal ds values, collected
+    # once from a pinned materialization of the batch
+    assert (
+        "WHEN NOT MATCHED BY SOURCE AND t.ds IN ('2024-01-01') THEN DELETE"
+        in merge
+    )
     assert "MERGE INTO cat.metrics" in merge
     # ds joins the MERGE key (a cross-partition MATCH must be impossible)
     assert "t.ds = s.ds" in merge.split("WHEN MATCHED")[0]
@@ -157,5 +163,26 @@ def test_catalog_merge_replaces_batch_ds_partitions(spark):
     # a second merge must use a DIFFERENT view name (concurrency safety)
     sink2 = _RecordingSink(spark, "cat.metrics")
     sink2.merge(batch)
-    view2 = sink2.spark.statements[1].split("USING ")[1].split()[0]
+    view2 = sink2.spark.statements[0].split("USING ")[1].split()[0]
     assert view2 != view
+
+
+def test_merge_sql_with_replace_scope_parses_under_spark(spark):
+    """The atomic partition-replace MERGE (WHEN NOT MATCHED BY SOURCE ...
+    THEN DELETE) must be a statement Spark's parser accepts — the exact
+    text a catalog-enabled session would execute."""
+    sql = merge_into_sql(
+        "metrics",
+        "updates",
+        ["ds"] + KEYS,
+        ["value", "run"],
+        replace_scope=("ds", ["2024-01-01", "2024-01-02"]),
+    )
+    assert (
+        "WHEN NOT MATCHED BY SOURCE AND t.ds IN "
+        "('2024-01-01', '2024-01-02') THEN DELETE" in sql
+    )
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert "MergeIntoTable" in plan.getClass().getSimpleName() or (
+        "Merge" in plan.toString()
+    )
