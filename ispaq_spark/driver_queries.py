@@ -2889,18 +2889,19 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs alone over-remove (A~B, B~C must not drop both B and C while
     keeping neither edge's context).
 
-    Algorithm: iterative min-label propagation — labels seed as the node
-    id; each round every node takes the min of its own and its neighbors'
-    labels; converged when no label changes. Each round is one shuffle
-    (join on edge endpoint + groupBy min): O(diameter) rounds, and real
-    near-dup graphs have tiny diameters (dup clusters are dense). At
-    10^12-doc scale the same loop runs with the large-star/small-star
-    optimization (Kiveris et al., "Connected Components in MapReduce")
-    to cut rounds to O(log d); the oracle is an exact recursive-CTE
-    closure. The driver-side loop is control flow only — every round's
-    data movement is distributed. Grafts the reference's channel-set
-    grouping (ispaq/simple_metrics.py:103-151: targets grouped into
-    equivalence classes before per-class metrics)."""
+    Algorithm: large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    rewires every node toward the minimum of its neighborhood, converging
+    in O(log d) rounds instead of the O(d) a plain min-label propagation
+    needs. This IS the certified path because long-chain dup clusters at
+    10^12 docs (URL redirect chains, boilerplate families) are exactly
+    where diameter-bound propagation stalls; the simpler
+    label-propagation twin stays available in operators/components.py and
+    is property-tested against this one. The oracle is an exact
+    recursive-CTE closure. The driver-side loop is control flow only —
+    every round's data movement is distributed. Grafts the reference's
+    channel-set grouping (ispaq/simple_metrics.py:103-151: targets
+    grouped into equivalence classes before per-class metrics)."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -2922,21 +2923,21 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
-    from .operators.components import label_propagation_components
+    from .operators.components import alternating_star_components
 
     # Materialize the (expensive) pair join exactly once, then size the
-    # iteration's shuffle width to the edge count: the label table is
+    # iteration's shuffle width to the edge count: the star edge set is
     # component-members-sized (tiny next to the corpus), and iterating a
     # small table across the session's full shuffle width spends more time
-    # scheduling empty tasks than propagating labels. At 10^12 docs the
-    # same expression yields a wide shuffle. Lineage-cutting, convergence,
-    # and the O(log d) large-star/small-star variant live in
+    # scheduling empty tasks than rewiring stars. At 10^12 docs the same
+    # expression yields a wide shuffle. Lineage-cutting, convergence, and
+    # the O(diameter) label-propagation twin live in
     # operators/components.py.
     edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     n_edges = edges.count()
     parts = max(2, min(spark.sparkContext.defaultParallelism,
                        n_edges // 250_000 + 1))
-    return label_propagation_components(
+    return alternating_star_components(
         edges, shuffle_partitions=parts
     ).toDF("doc_id", "comp")
 

@@ -138,18 +138,26 @@ def _small_star(e_undirected: DataFrame) -> DataFrame:
 
 
 def alternating_star_components(
-    edges: DataFrame, max_iter: int = 30
+    edges: DataFrame, max_iter: int = 30,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(a, b) edges -> (node, comp) via large-star/small-star alternation.
 
     Converges in O(log d) rounds; at the fixed point the edge set is a
-    union of stars (node -> component minimum)."""
-    e = (
+    union of stars (node -> component minimum). ``shuffle_partitions``
+    sizes each round's exchange to the edge count, as in
+    ``label_propagation_components``."""
+
+    def cut(df: DataFrame) -> DataFrame:
+        if shuffle_partitions:
+            df = df.repartition(shuffle_partitions, df.columns[0])
+        return df.localCheckpoint(eager=True)
+
+    e = cut(
         edges.toDF("a", "b")
         .where(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = _sym(e).select(F.col("a").alias("node")).distinct()
     prev_sig = None
@@ -157,8 +165,8 @@ def alternating_star_components(
     # max_iter + 1 observations for max_iter productive rounds (see
     # label_propagation_components).
     for _ in range(max_iter + 1):
-        e = _large_star(e).localCheckpoint(eager=True)
-        e = _small_star(e).localCheckpoint(eager=True)
+        e = cut(_large_star(e))
+        e = cut(_small_star(e))
         sig = _signature(e)
         if sig == prev_sig:
             converged = True
