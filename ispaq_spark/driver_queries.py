@@ -5923,6 +5923,69 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@qdef(
+    "weighted_sample_quality",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, str_split(text, ' ') AS words,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1) / 4294967297.0 AS uni
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id, source, uni,
+             round(0.01 + len(list_filter(words, x -> list_contains({{EN}}, x)))
+                   / len(words), 6) AS quality_w
+      FROM w
+    )
+    SELECT doc_id, source, quality_w,
+           round(pow(uni, 1.0 / quality_w), 6) AS priority
+    FROM s
+    ORDER BY round(pow(uni, 1.0 / quality_w), 6) DESC, doc_id
+    LIMIT {_WS_K}
+    """.replace("{EN}", _EN_SQL),
+)
+def q_weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`weighted_sample` on the weight production would actually use: the
+    document QUALITY score (stopword ratio, the strongest SQL-expressible
+    Gopher-rule proxy, floored at 0.01 so every doc keeps a positive
+    inclusion probability) instead of raw length. A-ES priorities
+    u^(1/quality) make the top-k a quality-proportional sample without
+    replacement — the standard curation move of oversampling fluent text
+    when down-sampling a web corpus. Same determinism contract as
+    `weighted_sample` (hash-uniform u from doc_id, 6-dp-rounded priority
+    cut with doc_id tiebreak on both engines).
+
+    Scale shape: identical to `weighted_sample` — the weight adds one
+    per-row array expression (no shuffle, no Python), priorities are
+    map-side, and the cut is TakeOrdered (per-partition heaps, k-row
+    driver merge); the corpus never exchanges."""
+    d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(x) for x in _EN])
+    swr = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / F.size(
+        toks
+    )
+    qw = r6(F.lit(0.01) + swr)
+    uni = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            qw.alias("quality_w"),
+            r6(F.pow(uni, 1.0 / qw)).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(_WS_K)
+    )
+
+
 # ===========================================================================
 # Registry accessors (consumed by __spark_entry__.py)
 # ===========================================================================

@@ -165,10 +165,13 @@ def test_chunk_dedup_ranks_on_hash_key(spark):
 
 def test_weighted_sample_is_takeordered_no_shuffle(spark):
     """A-ES priority sampling must be map-side priorities + a global top-k
-    (TakeOrdered): zero hash exchanges — the corpus never moves."""
-    plan = plan_of(dq.queries()["weighted_sample"](spark, SF_DIR))
-    assert "TakeOrderedAndProject" in plan
-    assert "Exchange hashpartitioning" not in plan
+    (TakeOrdered): zero hash exchanges — the corpus never moves. Holds for
+    both the length-weighted and the quality-weighted variants."""
+    for name in ("weighted_sample", "weighted_sample_quality"):
+        plan = plan_of(dq.queries()[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Python" not in plan, name
 
 
 def test_dup_cluster_hist_never_shuffles_text(spark):
