@@ -23,8 +23,15 @@ here is:
 
 tests/test_catalog_merge.py proves: generated SQL parses under Spark;
 dataframe_merge == a DELETE+INSERT upsert transaction run by a second
-engine (DuckDB) on the same rows; and a rerun of the same batch is a
-no-op (no duplicates) — the reference's idempotency contract.
+engine (DuckDB) on the same rows; a rerun of the same batch is a no-op
+(no duplicates) — the reference's idempotency contract; and the
+generated statement is actually SUBMITTED for execution against both a
+Spark-managed parquet table (V1) and a Derby-backed JDBCTableCatalog
+(V2) — a self-upgrading gate that verifies the replace semantics end to
+end wherever a row-level-capable catalog exists, and in this container
+pins Spark's exact UNSUPPORTED_FEATURE.TABLE_OPERATION capability error
+on both routes (recorded 2026-08-18; DuckDB 1.0.0 predates MERGE with a
+ParserException, so no engine here can execute one).
 """
 
 from __future__ import annotations

@@ -9,12 +9,13 @@ is absent from this container — the test skips with that reason, and
 arbitrary-stateful surface here. The code below is the real API usage a
 protobuf-equipped cluster runs unchanged.
 
-Acquisition attempted and blocked (recorded 2026-08-17): `pip download
-protobuf` fails with "No matching distribution found" (no network route
-to a package index from this sandbox, and environment policy forbids
-installs); no protobuf wheel is vendored anywhere on the image, and
-pyspark's bundled `pyspark/sql/protobuf` dir is the from_protobuf SQL
-function wrapper, not the python `google.protobuf` runtime.
+Acquisition attempted and blocked (recorded 2026-08-17, re-attempted
+2026-08-18): `pip download protobuf` fails with "Name or service not
+known" on every retry (no network route to a package index from this
+sandbox, and environment policy forbids installs); no protobuf wheel is
+vendored anywhere on the image, and pyspark's bundled
+`pyspark/sql/protobuf` dir is the from_protobuf SQL function wrapper,
+not the python `google.protobuf` runtime.
 
 Emits, after every micro-batch, the lifetime (docs_seen, total_chars,
 mean_chars) per source — the always-current ingest ledger a curation

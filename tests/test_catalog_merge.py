@@ -186,3 +186,99 @@ def test_merge_sql_with_replace_scope_parses_under_spark(spark):
     assert "MergeIntoTable" in plan.getClass().getSimpleName() or (
         "Merge" in plan.toString()
     )
+
+
+def test_merge_execution_attempt_is_recorded_or_succeeds(spark, tmp_path):
+    """Execute the generated MERGE against every table route this
+    container offers, self-upgrading: in an environment whose catalog
+    supports row-level operations the merge must actually run and the
+    replace semantics are verified; in this container the attempt must be
+    BLOCKED by Spark's own capability check with the exact
+    UNSUPPORTED_FEATURE.TABLE_OPERATION error (recorded here the way the
+    protobuf gate records its acquisition attempt — see
+    streaming/running_stats.py). Routes probed: (a) a Spark-managed
+    parquet table in spark_catalog (V1 — no SupportsRowLevelOperations),
+    (b) JDBCTableCatalog over the embedded Derby that ships with pyspark
+    (V2, but row-level ops unimplemented). DuckDB 1.0.0 (the second
+    engine) predates MERGE entirely (ParserException), so no engine in
+    this container can execute one; the statement text itself is
+    parser-validated above."""
+    spark.sql("DROP TABLE IF EXISTS _merge_exec_probe")
+    spark.sql(
+        "CREATE TABLE _merge_exec_probe (ds STRING, target STRING, "
+        "start INT, end INT, value DOUBLE) USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO _merge_exec_probe VALUES "
+        "('d1', 'm1', 0, 10, 1.0), ('d1', 'mstale', 0, 10, 9.0)"
+    )
+    batch = spark.createDataFrame(
+        [("d1", "m1", 0, 10, 2.0), ("d1", "m2", 0, 10, 3.0)],
+        "ds string, target string, start int, end int, value double",
+    )
+    batch.createOrReplaceTempView("_merge_exec_src")
+    stmt = merge_into_sql(
+        "_merge_exec_probe",
+        "_merge_exec_src",
+        ["ds", "target", "start", "end"],
+        ["value"],
+        replace_scope=("ds", ["d1"]),
+    )
+    try:
+        spark.sql(stmt)
+        executed = True
+    except Exception as ex:  # noqa: BLE001 — asserting the exact block
+        executed = False
+        msg = str(ex)
+        assert "UNSUPPORTED_FEATURE.TABLE_OPERATION" in msg, msg
+        assert "does not support MERGE INTO TABLE" in msg, msg
+    if executed:
+        # capability present (cluster with Iceberg/Delta/row-level V2):
+        # verify the atomic replace semantics end to end
+        got = sorted(
+            tuple(r)
+            for r in spark.table("_merge_exec_probe").collect()
+        )
+        assert got == [
+            ("d1", "m1", 0, 10, 2.0),
+            ("d1", "m2", 0, 10, 3.0),
+        ]
+    spark.sql("DROP TABLE IF EXISTS _merge_exec_probe")
+
+    # route (b): V2 JDBCTableCatalog over the embedded Derby jar that
+    # ships with pyspark — a real V2 catalog, but it does not implement
+    # SupportsRowLevelOperations either; same exact capability error.
+    spark.conf.set(
+        "spark.sql.catalog._jdbcprobe",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc."
+        "JDBCTableCatalog",
+    )
+    spark.conf.set(
+        "spark.sql.catalog._jdbcprobe.url",
+        f"jdbc:derby:{tmp_path}/_merge_probe_db;create=true",
+    )
+    spark.conf.set(
+        "spark.sql.catalog._jdbcprobe.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    spark.sql(
+        "CREATE TABLE _jdbcprobe.MT (ds STRING, target STRING, "
+        "start INT, end INT, value DOUBLE)"
+    )
+    try:
+        spark.sql(
+            merge_into_sql(
+                "_jdbcprobe.MT",
+                "_merge_exec_src",
+                ["ds", "target", "start", "end"],
+                ["value"],
+            )
+        )
+        jdbc_executed = True
+    except Exception as ex:  # noqa: BLE001
+        jdbc_executed = False
+        msg = str(ex)
+        assert "UNSUPPORTED_FEATURE.TABLE_OPERATION" in msg, msg
+        assert "does not support MERGE INTO TABLE" in msg, msg
+    if jdbc_executed:
+        assert spark.table("_jdbcprobe.MT").count() == 2
