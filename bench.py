@@ -257,6 +257,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     detail = {"detail": "per_query", "queries": timings, "spread": spreads}
+    # Noise-controlled round-over-round ratios (scripts/bench_ratio.py:
+    # prev and cur implementations interleaved in one pinned JVM) ride the
+    # sidecar when the ratio run exists — raw cross-run diffs are
+    # uninterpretable under this box's 2-4x bimodality.
+    ratio_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "RATIO_vs_prev.json",
+    )
+    if os.path.exists(ratio_path):
+        with open(ratio_path) as f:
+            ratio = json.load(f)
+        detail["ratio_vs_prev"] = {
+            n: r["ratio"] for n, r in ratio["queries"].items()
+        }
+        detail["ratio_prev_ref"] = ratio["prev_ref"]
+        detail["ratio_protocol"] = ratio["protocol"]
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -597,8 +597,8 @@ def q_text_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
       SELECT doc_id,
              CASE WHEN len(words) >= 3 THEN
-               [array_to_string(words[i:i+2], ' ')
-                for i in range(1, len(words) - 1)]
+               list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
              ELSE [] END AS grams
       FROM w
     )
@@ -948,8 +948,8 @@ def _minhash_sql_cols() -> str:
       SELECT doc_id, str_split(text, ' ') AS words FROM documents
     ), g AS (
       SELECT doc_id,
-             [array_to_string(words[i:i+2], ' ')
-              for i in range(1, len(words) - 1)] AS grams
+             list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
       FROM w WHERE len(words) >= 3
     )
     SELECT doc_id,
@@ -1140,6 +1140,7 @@ def _dot_sql(vec_expr: str, plane: list[int]) -> str:
     """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     s AS (
       SELECT e.vec_id,
@@ -1157,7 +1158,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: query vector broadcast against
     every embedding; dot/norms via zip_with + aggregate (in-row, JVM-side,
     no explode shuffle); deterministic order (cos desc, vec_id asc)."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings").where(
+        F.exists("embedding", lambda x: x != F.lit(0.0))
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.where("vec_id = 0").select(F.col("v").alias("qv"))
@@ -1194,6 +1197,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     )
     SELECT
       { ' + '.join(f"(CASE WHEN {_dot_sql('v', p)} >= 0 THEN {1 << j} ELSE 0 END)" for j, p in enumerate(LSH_PLANES)) }
@@ -1207,7 +1211,9 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections pack into a bucket id; search only needs the query's bucket
     (+ neighbors). Hyperplanes are deterministic module constants, shared
     verbatim with the oracle SQL."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings").where(
+        F.exists("embedding", lambda x: x != F.lit(0.0))
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     bucket = F.lit(0)
@@ -1917,6 +1923,13 @@ _COS_SQL = (
 
 
 def _cos_cols(lhs: str, rhs: str) -> F.Column:
+    """Cosine over two array columns, JVM-side. CONTRACT: every similarity
+    query excludes zero-norm vectors AT THE SCAN (exists(x != 0), SQL twin
+    len(list_filter(...)) > 0) — a zero vector has no direction, and at
+    10^12 docs empty documents DO produce them; under Spark's default ANSI
+    mode the norm division then kills the whole job with DIVIDE_BY_ZERO
+    while DuckDB yields NaN, so exclusion is the only cross-engine-stable
+    semantics. Found by the hostile fixture (round 5)."""
     dot = F.aggregate(
         F.zip_with(lhs, rhs, lambda x, y: x * y),
         F.lit(0.0),
@@ -1942,6 +1955,7 @@ def _cos_cols(lhs: str, rhs: str) -> F.Column:
 _COSINE_BLOCK_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_COS_SQL}, 6) AS cos
@@ -1981,7 +1995,9 @@ def _cosine_verify(cand: DataFrame, vecs: DataFrame, threshold: float) -> DataFr
 
 
 def _normed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings").where(
+        F.exists("embedding", lambda x: x != F.lit(0.0))
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     nrm = F.sqrt(
@@ -2023,6 +2039,7 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
     cent AS (
       SELECT label, i, avg(v[i]) AS c
@@ -2053,7 +2070,9 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force only inside those lists. At 10^12 scale the centroid table
     is broadcast and the fact side is pruned to the probed buckets before
     any distance math."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings").where(
+        F.exists("embedding", lambda x: x != F.lit(0.0))
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.where("vec_id = 0").select(F.col("v").alias("qv"))
@@ -2110,8 +2129,8 @@ _LSH_SQL_BANDS = """
       SELECT doc_id, str_split(text, ' ') AS words FROM documents
     ), g AS (
       SELECT doc_id,
-             [array_to_string(words[i:i+2], ' ')
-              for i in range(1, len(words) - 1)] AS grams
+             list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
       FROM w WHERE len(words) >= 3
     ), sig AS (
       SELECT doc_id, list_distinct(grams) AS gset,
@@ -2366,8 +2385,8 @@ def q_xcorr_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, str_split(text, ' ') AS words FROM documents
     ), g AS (
       SELECT doc_id,
-             unnest([array_to_string(words[i:i+2], ' ')
-                     for i in range(1, len(words) - 1)]) AS gram
+             unnest(list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
       FROM w WHERE len(words) >= 3
     )
     SELECT doc_id, gram, count(*) AS cnt
@@ -2498,18 +2517,18 @@ _CHUNK_W = 8  # words per dedup span (C4 uses three-sentence spans)
     WITH w AS (
       SELECT doc_id, str_split(text, ' ') AS ws FROM documents
       WHERE text IS NOT NULL
-    ), chunks AS (
+    ), spans AS (
+      -- two parallel unnests zip; the span STRINGS are built linearly
+      -- per doc first, so the word array is never copied per span row
       SELECT doc_id,
              unnest(range(0, CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT)))
                AS chunk_idx,
-             ws
+             unnest(list_transform(
+               range(0, CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT)),
+               c -> array_to_string(
+                 ws[c * {_CHUNK_W} + 1 : c * {_CHUNK_W} + {_CHUNK_W}], ' ')))
+               AS chunk
       FROM w
-    ), spans AS (
-      SELECT doc_id, chunk_idx,
-             array_to_string(
-               ws[chunk_idx * {_CHUNK_W} + 1 : chunk_idx * {_CHUNK_W} + {_CHUNK_W}],
-               ' ') AS chunk
-      FROM chunks
     ), ranked AS (
       SELECT doc_id, chunk_idx, chunk,
              row_number() OVER (
@@ -2605,15 +2624,14 @@ _SUB_W = 8  # sliding-gram width for exact-substring dedup
     WITH w AS (
       SELECT doc_id, str_split(text, ' ') AS ws FROM documents
       WHERE text IS NOT NULL
-    ), g AS (
+    ), gr AS (
       SELECT doc_id,
              unnest(range(0, greatest(len(ws) - {_SUB_W - 1}, 0))) AS pos,
-             ws
+             unnest(list_transform(
+               range(0, greatest(len(ws) - {_SUB_W - 1}, 0)),
+               p -> array_to_string(ws[p + 1 : p + {_SUB_W}], ' ')))
+               AS gram
       FROM w
-    ), gr AS (
-      SELECT doc_id, pos,
-             array_to_string(ws[pos + 1 : pos + {_SUB_W}], ' ') AS gram
-      FROM g
     ), ranked AS (
       SELECT doc_id, pos,
              row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
@@ -2623,9 +2641,10 @@ _SUB_W = 8  # sliding-gram width for exact-substring dedup
       SELECT DISTINCT doc_id, unnest(range(pos, pos + {_SUB_W})) AS tp
       FROM ranked WHERE rn > 1
     ), toks AS (
-      SELECT doc_id, unnest(range(0, len(ws))) AS i, ws FROM w
+      SELECT doc_id, unnest(range(0, len(ws))) AS i, unnest(ws) AS tok
+      FROM w
     ), kept AS (
-      SELECT t.doc_id, t.i, t.ws[t.i + 1] AS tok
+      SELECT t.doc_id, t.i, t.tok
       FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.tp = t.i
       WHERE cov.tp IS NULL
     ), clean AS (
@@ -2746,18 +2765,29 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(flatten(
                list_transform(repstarts, i -> range(i, i + 3)))) AS rem
       FROM r
+    ), remx AS (
+      SELECT doc_id, unnest(rem) AS t FROM x
+    ), tok AS (
+      SELECT doc_id, unnest(range(0, len(ws))) AS t, unnest(ws) AS tk
+      FROM x
+    ), kept AS (
+      -- positional ANTI-join instead of list_contains(rem, t) per token:
+      -- a fully-repetitive doc has |rem| ~ |ws|, and the per-token
+      -- membership probe would be O(len^2)
+      SELECT tok.doc_id, tok.t, tok.tk
+      FROM tok LEFT JOIN remx
+        ON remx.doc_id = tok.doc_id AND remx.t = tok.t
+      WHERE remx.t IS NULL
+    ), clean AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY t) AS clean_text
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(len(ws) AS BIGINT) AS n_tokens,
-           CAST(len(repstarts) AS BIGINT) AS n_repeat_grams,
-           CAST(len(rem) AS BIGINT) AS n_removed,
-           array_to_string(
-             list_transform(
-               list_filter(range(0, len(ws)),
-                           t -> NOT list_contains(rem, t)),
-               t -> ws[t + 1]),
-             ' ') AS clean_text
-    FROM x
+    SELECT x.doc_id,
+           CAST(len(x.ws) AS BIGINT) AS n_tokens,
+           CAST(len(x.repstarts) AS BIGINT) AS n_repeat_grams,
+           CAST(len(x.rem) AS BIGINT) AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM x LEFT JOIN clean c ON x.doc_id = c.doc_id
     """,
 )
 def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2988,6 +3018,7 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), q8 AS (
       SELECT vec_id,
              127.0 / list_max(list_transform(v, x -> abs(x))) AS scale,
@@ -3022,7 +3053,9 @@ def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding, so the quantizer pins the rounding mode explicitly.
     Composes with `ivf_topk`/`ann_lsh_buckets` (quantize within each
     bucket). Brute-force ranking here so the oracle is exact."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings").where(
+        F.exists("embedding", lambda x: x != F.lit(0.0))
+    ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
@@ -3959,8 +3992,8 @@ _LSH_VERIFY_ORACLE = """
       SELECT doc_id, str_split(text, ' ') AS words FROM documents
     ), g AS (
       SELECT doc_id,
-             [array_to_string(words[i:i+2], ' ')
-              for i in range(1, len(words) - 1)] AS grams
+             list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
       FROM w WHERE len(words) >= 3
     ), sig AS (
       SELECT doc_id, {mh_cols} FROM g
@@ -4089,8 +4122,8 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_chars, str_split(text, ' ') AS words FROM documents
     ), g AS (
       SELECT doc_id, n_chars,
-             [array_to_string(words[i:i+2], ' ')
-              for i in range(1, len(words) - 1)] AS grams
+             list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
       FROM w WHERE len(words) >= 3
     ), sig AS (
       SELECT doc_id, n_chars, {_minhash_sql_cols()} FROM g
@@ -4206,6 +4239,7 @@ def _lsh_bucket_sql() -> str:
     f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), bk AS (
       SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM e
     )
@@ -4252,8 +4286,8 @@ def q_lsh_cosine_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT str_split(text, ' ') AS words FROM documents
     ), bg AS (
-      SELECT unnest([words[i] || ' ' || words[i+1]
-                     for i in range(1, len(words))]) AS bigram
+      SELECT unnest(list_transform(range(1, len(words)),
+                     i -> words[i] || ' ' || words[i+1])) AS bigram
       FROM w WHERE len(words) >= 2
     ), uni AS (
       SELECT unnest(words) AS w FROM w
@@ -4553,6 +4587,7 @@ _SEMDEDUP_TAU = 0.35
     f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), c AS (
       SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_SEMDEDUP_K}
     ), a0 AS (
@@ -4604,7 +4639,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole trick: k scales with corpus size (k ~ n/50k) so block sizes stay
     bounded, unlike the label-blocked `cosine_neardup` whose blocks grow
     with the data."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings").where(
+        F.exists("embedding", lambda x: x != F.lit(0.0))
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = (
@@ -4712,6 +4749,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_RECALL_SQL = """
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ), q AS (
       SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5
     ), bs AS (
@@ -4789,7 +4827,9 @@ def _ann_recall_impl(
     cells — the synthetic embeddings are diffuse Gaussians, so exact
     neighbors scatter across cells. That unflattering number is the point:
     the probe count is a measured dial, not a vibe."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings").where(
+        F.exists("embedding", lambda x: x != F.lit(0.0))
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.where("vec_id < 5").select(
@@ -5301,9 +5341,13 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "char_entropy",
     """
     WITH k AS (
+      -- ch <> '' drops DuckDB's str_split('', '') = [''] artifact so an
+      -- EMPTY document contributes no phantom character row (Spark's
+      -- array_remove twin does the same); found by the hostile fixture
       SELECT doc_id, source, ch, CAST(count(*) AS DOUBLE) AS cnt
       FROM (SELECT doc_id, source, unnest(str_split(text, '')) AS ch
             FROM documents)
+      WHERE ch <> ''
       GROUP BY doc_id, source, ch
     ), e AS (
       SELECT doc_id, source,
@@ -5444,8 +5488,8 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, str_split(text, ' ') AS words FROM x
     ), g AS (
       SELECT doc_id,
-             [array_to_string(words[i:i+2], ' ')
-              for i in range(1, len(words) - 1)] AS grams
+             list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
       FROM w WHERE len(words) >= 3
     ), sig AS (
       SELECT doc_id, {_minhash_sql_cols()}
@@ -5569,8 +5613,8 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, str_split(text, ' ') AS words FROM documents
     ), ph AS (
       SELECT source,
-             unnest([array_to_string(words[i:i+1], ' ')
-                     for i in range(1, len(words))]) AS phrase
+             unnest(list_transform(range(1, len(words)),
+                     i -> words[i] || ' ' || words[i+1])) AS phrase
       FROM w WHERE len(words) >= 2
     ), tf AS (
       SELECT source, phrase, CAST(count(*) AS BIGINT) AS tf
@@ -5657,8 +5701,8 @@ def q_tfidf_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), g AS (
       SELECT lang, split,
-             unnest([array_to_string(words[i:i+7], ' ')
-                     for i in range(1, len(words) - 6)]) AS gram
+             unnest(list_transform(range(1, len(words) - 6),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7])) AS gram
       FROM (SELECT lang, split, str_split(text, ' ') AS words FROM s)
       WHERE len(words) >= 8
     ), tr AS (
@@ -5740,8 +5784,8 @@ _LSH_CONTAINMENT_ORACLE = """
       SELECT doc_id, str_split(text, ' ') AS words FROM documents
     ), g AS (
       SELECT doc_id,
-             [array_to_string(words[i:i+2], ' ')
-              for i in range(1, len(words) - 1)] AS grams
+             list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
       FROM w WHERE len(words) >= 3
     ), sig AS (
       SELECT doc_id, {mh_cols} FROM g

@@ -127,11 +127,23 @@ def build_documents(base: pa.Table) -> pa.Table:
         add(i, dup, "en")
         i += 1
     # ONE 10^6-token document: 3-token cycle (first-occurrence probes stay
-    # O(1) per gram) + a unique tail so it is not pure repetition
+    # O(1) per gram) + a unique tail so it is not pure repetition. It gets
+    # its own (source, lang) block: the registry's documented
+    # fixture-scale QUADRATIC oracle twins (jaccard_pairs,
+    # cosine_neardup, neardup_components' blocked pair join) materialize
+    # full texts per candidate pair, and a 4.7MB text times hundreds of
+    # same-block partners is a deliberate OOM, not a fairness test — the
+    # singleton block keeps the giant doc on every LINEAR path (token
+    # explodes, gram grids, LSH signatures, ppl, BM25) while pair oracles
+    # see it only as a block of one.
     giant = "spam ham eggs " * 333_330 + " ".join(
         f"uniq{k}" for k in range(10)
     )
-    add(i, giant, "en")
+    doc_id.append(i)
+    text.append(giant)
+    lang.append("en")
+    source.append("src_giant_solo")
+    n_chars.append(len(giant))
     return pa.table(
         {
             "doc_id": pa.array(doc_id, pa.int64()),
@@ -182,8 +194,15 @@ def build_lineitem(base: pa.Table) -> pa.Table:
     df = base.to_pandas()
     df.loc[df.index[10:20], "l_quantity"] = 0.0
     df.loc[df.index[20:30], "l_quantity"] = -5.0
-    df.loc[df.index[30:35], "l_quantity"] = 1e12
-    df.loc[df.index[40:50], "l_extendedprice"] = 1e12
+    # extreme magnitudes are capped at 1e6: the oracle's 6-ABSOLUTE-decimal
+    # rounding convention needs ~sig+6 digits of cross-engine float
+    # agreement, and doubles carry ~15-16 — 1e12-scale inputs push
+    # variance-family aggregates (stddev_pop) past what ANY two engines'
+    # summation orders reproduce to 6dp (measured: 1e-12 RELATIVE
+    # disagreement on sample_rms_var at 1e12 inputs). 1e6 still exercises
+    # the ANSI-overflow and signed-agg paths inside the certifiable range.
+    df.loc[df.index[30:35], "l_quantity"] = 1e6
+    df.loc[df.index[40:50], "l_extendedprice"] = 1e6
     # duplicated (orderkey, linenumber) rows — key-uniqueness hazard
     dup = df.iloc[60:65].copy()
     df = __import__("pandas").concat([df.iloc[:-5], dup], ignore_index=True)
