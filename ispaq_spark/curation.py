@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from .operators.dedup import exact_dedup, hex_hash, minhash_dedup, shingles
+from .operators.dedup import (
+    exact_dedup,
+    hex_hash,
+    minhash_dedup,
+    with_shingles,
+)
 
 
 @dataclass
@@ -83,11 +88,13 @@ def decontaminate(
     gram set is broadcast (benchmarks are model-sized); the corpus is
     left-anti'd — it never shuffles."""
     bg = (
-        benchmark.select(F.explode(shingles(text_col, n)).alias("g"))
+        with_shingles(benchmark, text_col, "_g", n)
+        .select(F.explode("_g").alias("g"))
         .distinct()
     )
     hits = (
-        docs.select(id_col, F.explode(shingles(text_col, n)).alias("g"))
+        with_shingles(docs, text_col, "_g", n)
+        .select(id_col, F.explode("_g").alias("g"))
         .join(F.broadcast(bg), "g")
         .select(id_col)
         .distinct()

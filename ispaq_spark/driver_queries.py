@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .contract import STOPWORDS
+from .operators.dedup import shingles_of as _shingles_of
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -617,16 +618,10 @@ def q_dup_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize tokens as a real column BEFORE the shingle HOF: an inline
     # split() closed over by the lambda is re-evaluated per shingle position
     # (HOFs are interpreted, never CSE'd) — O(n²) per document.
-    d = d.withColumn("toks", F.split(F.col("text"), " "))
-    toks = F.col("toks")
-    n = F.size(toks)
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(2)),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    toks = F.split(F.col("text"), " ")
+    grams = F.coalesce(
+        _shingles_of(toks, 3), F.array().cast("array<string>")
+    )
     d = d.withColumn("grams", grams)
     frac = F.when(
         F.size("grams") > 0,
@@ -962,16 +957,13 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     min), k=4 permutations — the signature stage of MinHash-LSH near-dup
     detection. Pure Catalyst: transform/slice/array_min, no Python."""
     d = t(spark, sf_dir, "documents")
-    # Materialized tokens column — see q_dup_3gram: inline split inside the
-    # shingle lambda is O(n²) under interpreted HOF evaluation.
-    d = d.withColumn("toks", F.split(F.col("text"), " "))
-    toks = F.col("toks")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(2)),
-        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    # Closure-free shingles (operators/dedup.py::shingles_of): a
+    # transform-with-slice lambda goes O(len^2) when the optimizer inlines
+    # split(text) into the per-element body (hostile-fixture finding).
+    toks = F.split(F.col("text"), " ")
+    d = d.where(F.size(toks) >= 3).withColumn(
+        "grams", _shingles_of(toks, 3)
     )
-    d = d.where(n >= 3).withColumn("grams", grams)
 
     def sig(j: int):
         # NOTE: single-arg lambda only — a two-arg lambda would be treated
@@ -2109,17 +2101,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _grams3_cols(d: DataFrame) -> DataFrame:
-    """doc_id + materialized 3-gram shingle array + distinct-set column."""
-    d = d.withColumn("toks", F.split(F.col("text"), " "))
-    toks = F.col("toks")
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(2)),
-        lambda i: F.array_join(F.slice(toks, i, 3), " "),
-    )
+    """doc_id + 3-gram shingle array + distinct-set column, closure-free
+    (operators/dedup.py::shingles_of: zip_with over shifted copies — a
+    transform-with-slice lambda here goes O(len^2) when the optimizer
+    inlines split(text) into the per-element body; hostile-fixture
+    finding)."""
+    from .operators.dedup import shingles_of
+
+    toks = F.split(F.col("text"), " ")
     return (
-        d.where(n >= 3)
-        .withColumn("grams", grams)
+        d.where(F.size(toks) >= 3)
+        .withColumn("grams", shingles_of(toks, 3))
         .withColumn("gset", F.array_distinct("grams"))
     )
 
@@ -2525,8 +2517,13 @@ _CHUNK_W = 8  # words per dedup span (C4 uses three-sentence spans)
                AS chunk_idx,
              unnest(list_transform(
                range(0, CAST(ceil(len(ws) / {_CHUNK_W}.0) AS BIGINT)),
-               c -> array_to_string(
-                 ws[c * {_CHUNK_W} + 1 : c * {_CHUNK_W} + {_CHUNK_W}], ' ')))
+               -- indexed element list, NOT a slice: DuckDB list
+               -- SLICING inside a lambda copies O(len) per call
+               -- (quadratic on a 10^6-token doc); an out-of-range
+               -- INDEX is a NULL, filtered for the ragged tail
+               c -> array_to_string(list_filter(
+                 [ws[c * {_CHUNK_W} + 1], ws[c * {_CHUNK_W} + 2], ws[c * {_CHUNK_W} + 3], ws[c * {_CHUNK_W} + 4], ws[c * {_CHUNK_W} + 5], ws[c * {_CHUNK_W} + 6], ws[c * {_CHUNK_W} + 7], ws[c * {_CHUNK_W} + 8]],
+                 x -> x IS NOT NULL), ' ')))
                AS chunk
       FROM w
     ), ranked AS (
@@ -2629,7 +2626,7 @@ _SUB_W = 8  # sliding-gram width for exact-substring dedup
              unnest(range(0, greatest(len(ws) - {_SUB_W - 1}, 0))) AS pos,
              unnest(list_transform(
                range(0, greatest(len(ws) - {_SUB_W - 1}, 0)),
-               p -> array_to_string(ws[p + 1 : p + {_SUB_W}], ' ')))
+               p -> ws[p + 1] || ' ' || ws[p + 2] || ' ' || ws[p + 3] || ' ' || ws[p + 4] || ' ' || ws[p + 5] || ' ' || ws[p + 6] || ' ' || ws[p + 7] || ' ' || ws[p + 8]))
                AS gram
       FROM w
     ), ranked AS (
@@ -2683,16 +2680,12 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash shuffle of 8-byte keys and matches it for fixed minimum length."""
     d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     words = d.select("doc_id", F.split("text", " ").alias("ws"))
-    n = F.size("ws")
-    starts = F.when(
-        n >= _SUB_W, F.sequence(F.lit(0), (n - _SUB_W).cast("int"))
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     grams = words.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                starts,
-                lambda i: F.array_join(F.slice("ws", i + 1, _SUB_W), " "),
+            F.coalesce(
+                _shingles_of(F.col("ws"), _SUB_W),
+                F.array().cast("array<string>"),
             )
         ).alias("pos", "gram"),
     )
@@ -2751,7 +2744,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
       SELECT doc_id, ws,
              list_transform(range(0, greatest(len(ws) - 2, 0)),
-                            i -> array_to_string(ws[i + 1 : i + 3], ' '))
+                            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
                AS gs
       FROM w
     ), r AS (
@@ -2804,22 +2797,21 @@ def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     any stage without a barrier and scales embarrassingly. Per-doc cost is
     O(len²) from the first-occurrence array_position probe — bounded by
     the doc-length cap upstream quality filters enforce; for unbounded
-    docs the same semantics hash-buckets inside one Arrow UDF. The gram
-    array is materialized as a real column first: interpreted HOFs
-    re-evaluate closed-over EXPRESSIONS per element (the O(n²)-HOF lesson
-    in BENCH/BASELINE.md), but a column reference is evaluated once.
-    Grafts the reference's within-trace repeat collapse
-    (ispaq/utils.py:404-431 duplicate-row pruning) at token grain."""
+    docs the same semantics hash-buckets inside one Arrow UDF. Grams are
+    built with the closure-free zip_with shingler
+    (operators/dedup.py::shingles_of) — the transform-with-slice form is
+    O(len^2) when the optimizer inlines split(text) into the per-element
+    lambda body (hostile-fixture finding). On a pure k-cycle document the
+    array_position probes all hit within the first k elements, so even a
+    10^6-token repetition bomb stays linear. Grafts the reference's
+    within-trace repeat collapse (ispaq/utils.py:404-431 duplicate-row
+    pruning) at token grain."""
     d = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     words = d.select("doc_id", F.split("text", " ").alias("ws"))
-    n = F.size("ws")
-    starts = F.when(
-        n >= 3, F.sequence(F.lit(0), n - 3)
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     g = words.withColumn(
         "gs",
-        F.transform(
-            starts, lambda i: F.array_join(F.slice("ws", i + 1, 3), " ")
+        F.coalesce(
+            _shingles_of(F.col("ws"), 3), F.array().cast("array<string>")
         ),
     )
     # Self-guarding index sequence: on an empty gs, sequence(0, size-1)
@@ -3426,16 +3418,16 @@ def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, str_split(text, ' ') AS ws FROM documents
       WHERE doc_id % 97 = 0 AND text IS NOT NULL
     ), bench_grams AS (
-      SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS gram
-      FROM bench, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
-      WHERE len(ws) >= 3
+      SELECT DISTINCT unnest(list_transform(range(1, len(ws) - 1),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      FROM bench WHERE len(ws) >= 3
     ), cand AS (
       SELECT doc_id, str_split(text, ' ') AS ws FROM documents
       WHERE doc_id % 97 <> 0 AND text IS NOT NULL
     ), cand_grams AS (
-      SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
-      FROM cand, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
-      WHERE len(ws) >= 3
+      SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      FROM cand WHERE len(ws) >= 3
     )
     SELECT DISTINCT c.doc_id
     FROM cand_grams c JOIN bench_grams b ON c.gram = b.gram
@@ -3464,14 +3456,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             df.select(
                 "doc_id",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(ws) - 2),
-                        lambda i: F.array_join(
-                            F.slice(ws, i, 3), " "
-                        ),
-                    )
-                ).alias("gram"),
+                F.explode(_shingles_of(ws, 3)).alias("gram"),
             )
             .where(F.size(ws) >= 3)
         )
@@ -4326,14 +4311,11 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. Grafts the reference's channel-pair metric family
     (correlationMetric.R pairwise statistics) onto the text layer."""
     d = t(spark, sf_dir, "documents")
-    d = d.withColumn("toks", F.split("text", " "))
-    toks = F.col("toks")
+    toks = F.split("text", " ")
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    bg = d.where(n >= 2).select(
+        F.explode(_shingles_of(toks, 2)).alias("bigram")
     )
-    bg = d.where(n >= 2).select(F.explode(bigrams).alias("bigram"))
     uni = d.select(F.explode(toks).alias("w"))
     bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
     uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -5654,12 +5636,7 @@ def q_tfidf_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ph = w.select(
         "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("words") - F.lit(1)),
-                lambda i: F.array_join(F.slice("words", i, 2), " "),
-            )
-        ).alias("phrase"),
+        F.explode(_shingles_of(F.col("words"), 2)).alias("phrase"),
     )
     tf = ph.groupBy("source", "phrase").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
@@ -5752,12 +5729,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.select(
         "lang",
         "split",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("words") - F.lit(7)),
-                lambda i: F.array_join(F.slice("words", i, 8), " "),
-            )
-        ).alias("gram"),
+        F.explode(_shingles_of(F.col("words"), 8)).alias("gram"),
     )
     tr = g.where("split = 'train'").select("lang", "gram").distinct()
     va = g.where("split = 'val'").select("lang", "gram").distinct()

@@ -29,27 +29,26 @@ from ..reference_impl import TOTAL_UNIGRAMS_KEY, perplexity as _ref_perplexity
 
 
 def kgrams_col(toks: Column, order: int = LM_ORDER) -> Column:
-    """Array of "k|gram" strings for k=1..order — pure Catalyst (transform/
-    sequence/slice), so training counts never leave the JVM.
+    """Array of "k|gram" strings for k=1..order — pure Catalyst, built with
+    the closure-free zip_with shingler so training counts never leave the
+    JVM and no optimizer rewrite can make gram construction O(len^2)."""
 
-    `toks` MUST be a materialized token-array column (not an inline
-    split()): the slice lambda closes over it, and interpreted HOFs
-    re-evaluate closed-over expressions per element — an inline split would
-    be O(n²) per row."""
-    n = F.size(toks)
     def kpart(k: int):
-        # single-arg lambda only: a two-arg lambda would become
-        # (element, index) under F.transform and shadow k.
+        # Closure-free shingles (operators/dedup.py::shingles_of): the
+        # transform-with-slice form re-evaluates the inlined split per
+        # element (O(len^2) on a 10^6-token doc). The prefixing lambda
+        # below touches only its element argument, so it stays O(1) per
+        # element under any optimizer rewrite.
+        from ..operators.dedup import shingles_of
+
         prefix = f"{k}|"
-        return F.when(
-            n >= k,
+        return F.coalesce(
             F.transform(
-                F.sequence(F.lit(1), n - F.lit(k - 1)),
-                lambda i: F.concat(
-                    F.lit(prefix), F.array_join(F.slice(toks, i, k), " ")
-                ),
+                shingles_of(toks, k),
+                lambda s: F.concat(F.lit(prefix), s),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+            F.array().cast("array<string>"),
+        )
 
     parts = [kpart(k) for k in range(1, order + 1)]
     out = parts[0]

@@ -47,15 +47,40 @@ def hex_hash(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def shingles(text_col: str, k: int = 3) -> F.Column:
-    toks = F.split(F.col(text_col), " ")
+def shingles_of(toks: F.Column, k: int = 3) -> F.Column:
+    """k-shingles from a token array column, CLOSURE-FREE.
+
+    Never build shingles with `transform(sequence(...), i -> slice(toks,
+    i, k))`: the lambda closes over `toks`, and Catalyst's projection
+    collapsing can inline the upstream split(text) EXPRESSION into the
+    lambda body, where the HOF re-evaluates it PER ELEMENT — O(len^2)
+    re-splits, ~10^12 character ops on a 10^6-token document (found live
+    by the hostile fixture; materializing toks with withColumn does NOT
+    reliably survive the optimizer). This form zips k top-level shifted
+    copies instead: every slice is evaluated once per ROW, the zip_with
+    lambdas touch only their element arguments, so no optimizer rewrite
+    can make it quadratic."""
     n = F.size(toks)
+    g = toks
+    for j in range(1, k):
+        # zip_with pads the shorter side with null; concat_ws skips
+        # nulls, and the trailing k-1 partial shingles are trimmed below
+        g = F.zip_with(
+            g,
+            F.slice(toks, j + 1, n - j),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
+        n >= k, F.slice(g, 1, F.greatest(n - (k - 1), F.lit(0)))
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, out_col: str, k: int = 3
+) -> DataFrame:
+    """df + `out_col` k-shingle array (closure-free; see `shingles_of`)."""
+    return df.withColumn(
+        out_col, shingles_of(F.split(F.col(text_col), " "), k)
     )
 
 
@@ -67,7 +92,7 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, mh0..mh{n-1}) — in-row, no shuffle, no Python."""
-    d = df.withColumn("_grams", shingles(text_col, shingle_k)).where(
+    d = with_shingles(df, text_col, "_grams", shingle_k).where(
         F.col("_grams").isNotNull()
     )
 
