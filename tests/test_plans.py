@@ -414,3 +414,16 @@ def test_char_entropy_exchange_budget(spark):
     rollup. A fourth exchange means the window/groupBy reuse regressed."""
     plan = plan_of(dq.queries()["char_entropy"](spark, SF_DIR))
     assert plan.count("Exchange") == 3, plan
+
+
+def test_driver_window_is_exactly_the_cap_and_all_registered():
+    """The driver certifies the first 50 queries() entries per round; the
+    rotation list must therefore contain exactly 50 distinct registered
+    names, and queries() must lead with them in order — a typo'd name
+    would silently shrink the certified window."""
+    pri = dq._DRIVER_PRIORITY
+    names = list(dq.queries())
+    assert len(pri) == 50
+    assert len(set(pri)) == 50
+    assert set(pri) <= set(names)
+    assert names[:50] == pri
