@@ -124,6 +124,7 @@ BENCH_QUERIES = (
     "substring_dedup",
     "dup_cluster_hist",
     "weighted_sample",
+    "weighted_sample_quality",
     "intradoc_dedup",
 )
 

@@ -676,13 +676,34 @@ _NB_SQL = f"""
     WITH docs AS (
       SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
     ),
+    -- char n-grams by O(1) list indexing into a one-pass char split: the
+    -- substr(text, i, n)-per-position form re-scans to the codepoint
+    -- offset on every call (O(len^2) — the hostile 10^6-token document
+    -- turns that into ~10^13 char steps on BOTH engines); Spark twin uses
+    -- the same shifted-copy zip_with as the word shinglers.
+    cdocs AS (
+      SELECT doc_id, lang, str_split(text, '') AS cs FROM docs
+    ),
     grams AS (
-      SELECT d.doc_id, d.lang,
-             (('0x' || substr(md5(substr(d.text, i.i, n.n)), 1, 8))::BIGINT
-               % {_NB_BUCKETS}) AS bucket
-      FROM docs d,
-           (VALUES (2), (3), (4)) n(n),
-           LATERAL (SELECT unnest(range(1, length(d.text) - n.n + 2)) AS i) i
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(g), 1, 8))::BIGINT % {_NB_BUCKETS})
+               AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(cs)),
+                      i -> cs[i] || cs[i+1])) AS g
+        FROM cdocs
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(cs) - 1),
+                      i -> cs[i] || cs[i+1] || cs[i+2])) AS g
+        FROM cdocs
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(cs) - 2),
+                      i -> cs[i] || cs[i+1] || cs[i+2] || cs[i+3])) AS g
+        FROM cdocs
+      )
     ),
     counts AS (
       SELECT lang, bucket, count(*) AS c FROM grams GROUP BY lang, bucket
@@ -730,6 +751,16 @@ def q_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
     )
     B = _NB_BUCKETS
+    # Char n-grams via the closure-free shifted-copy zipper over a one-pass
+    # char split. NEVER substr(text, i, n) per position: UTF8String.substring
+    # scans to the codepoint offset on each call, so that form is O(len^2)
+    # in document length (~10^13 char steps on the hostile 10^6-token doc).
+    # It also generated junk grams for docs SHORTER than n, because
+    # sequence(1, len-n+1) descends when the stop is negative; shingles_of
+    # is null-guarded for size < k, which explode() then drops — matching
+    # the oracle's empty range() on both counts.
+    from .operators.dedup import shingles_of
+
     gram_parts = []
     for n in (2, 3, 4):
         gram_parts.append(
@@ -737,12 +768,7 @@ def q_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 "lang",
                 F.explode(
-                    F.transform(
-                        F.sequence(
-                            F.lit(1), F.length("text") - F.lit(n) + F.lit(1)
-                        ),
-                        lambda i: F.col("text").substr(i, F.lit(n)),
-                    )
+                    shingles_of(F.split(F.col("text"), ""), n, sep="")
                 ).alias("g"),
             )
         )

@@ -47,8 +47,13 @@ def hex_hash(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def shingles_of(toks: F.Column, k: int = 3) -> F.Column:
+def shingles_of(toks: F.Column, k: int = 3, sep: str = " ") -> F.Column:
     """k-shingles from a token array column, CLOSURE-FREE.
+
+    `sep` joins the k tokens per shingle (default word-gram " "; pass ""
+    with a char array from split(text, '') for char n-grams — the substr-
+    per-position form is O(len^2) because UTF8String.substring scans to
+    the codepoint offset on every call).
 
     Never build shingles with `transform(sequence(...), i -> slice(toks,
     i, k))`: the lambda closes over `toks`, and Catalyst's projection
@@ -68,7 +73,7 @@ def shingles_of(toks: F.Column, k: int = 3) -> F.Column:
         g = F.zip_with(
             g,
             F.slice(toks, j + 1, n - j),
-            lambda a, b: F.concat_ws(" ", a, b),
+            lambda a, b: F.concat_ws(sep, a, b),
         )
     return F.when(
         n >= k, F.slice(g, 1, F.greatest(n - (k - 1), F.lit(0)))
