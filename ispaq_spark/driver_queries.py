@@ -6068,6 +6068,7 @@ _DRIVER_PRIORITY: list[str] = [
     "lsh_containment_verify",
     "lsh_cosine_verify",
     "lsh_jaccard_verify",
+    "langid_nb_confusion",  # closure-free char grams (hostile-sweep fix)
     "minhash_lsh_neardup",
     "minhash_signatures",
     "ngram_novelty",
@@ -6076,14 +6077,15 @@ _DRIVER_PRIORITY: list[str] = [
     "substring_dedup",     # zipped-unnest oracle
     "tfidf_phrases",
     "udtf_repeated_ngrams",
-    # -- r03-certified, unchanged, due for recheck (20 of the 31 remaining
+    # -- r03-certified, unchanged, due for recheck (19 of the 31 remaining
     # complement queries fit the 50-row window; preference to the ones with
-    # Python/Arrow/iterative paths). The 11 that overflow — asof_join,
+    # Python/Arrow/iterative paths). The 12 that overflow — asof_join,
     # basic_stats, corr_per_group, dim_join_agg, gaps, hist2d,
-    # interval_join, mode_per_group, psd_quantiles, psd_windows,
-    # sessionize — are all r01-era pure-Catalyst aggregates/joins untouched
-    # since their last green row, and are covered by the full 98-query
-    # local sweep recorded in BENCH/BASELINE.md (round-5 validation).
+    # interval_join, mode_per_group, pivot_metrics, psd_quantiles,
+    # psd_windows, sessionize — are all r01-era pure-Catalyst
+    # aggregates/joins/pivots untouched since their last green row, and are
+    # covered by the full 98-query local sweep at sf0.01 + sf0.001 + the
+    # hostile fixture recorded in BENCH/BASELINE.md (round-5 validation).
     "adaptive_quality_cut",
     "arrow_token_stats",
     "bm25_rank",
@@ -6094,7 +6096,6 @@ _DRIVER_PRIORITY: list[str] = [
     "funnel_steps",
     "inverted_index",
     "mixture_weights",
-    "pivot_metrics",
     "salted_skew_agg",
     "source_overlap",
     "split_assign",
