@@ -450,9 +450,14 @@ def q_pairs_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @qdef(
     "dedup_exact",
     """
+    -- distinct INCLUDING the null group: dropDuplicates keeps one
+    -- representative per content value, and all-null is a content value;
+    -- bare count(DISTINCT) ignores nulls and undercounts by one in any
+    -- lang holding a null-text doc (hostile-sweep finding)
     SELECT lang,
            count(*) AS n_docs,
-           count(DISTINCT text) AS n_distinct
+           (count(DISTINCT text)
+            + max(CASE WHEN text IS NULL THEN 1 ELSE 0 END)) AS n_distinct
     FROM documents GROUP BY lang
     """,
 )
@@ -895,6 +900,10 @@ def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (mwl <= 12.0)
         & (swr >= 0.0)
     )
+    # Total decision: NULL text must be a DROP, not a third NULL group —
+    # three-valued logic leaves the conjunction NULL where the oracle's
+    # CASE (and any downstream filter) reads false (hostile-sweep finding)
+    keep = F.coalesce(keep, F.lit(False))
     return d.groupBy("lang", keep.alias("keep")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -3318,11 +3327,14 @@ def q_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @qdef(
     "variant_extract",
     """
+    -- TRY_CAST, not CAST: $.k can hold a non-scalar (hostile props carry
+    -- nested objects) and DuckDB's CAST hard-errors where Spark's
+    -- try_variant_get yields NULL; TRY matches the try_ semantics
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
     FROM events
-    WHERE json_extract(props, '$.k') IS NOT NULL
-      AND CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0
+    WHERE TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+      AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0
     """,
 )
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4424,7 +4436,7 @@ def q_adaptive_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT DISTINCT source,
              md5(array_to_string(str_split(text, ' ')[1:8], ' ')) AS chash
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(count(*) AS BIGINT) AS n_shared
@@ -4445,7 +4457,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's cross-SNCL coverage comparison (availability
     intersections, ispaq/concierge.py:954-1005)."""
     d = t(spark, sf_dir, "documents")
-    h = d.select(
+    # A null document has no prefix fingerprint — filter explicitly:
+    # concat_ws silently resurrects NULL to "" (md5('') would then collide
+    # with genuinely-empty docs across sources; hostile-sweep finding)
+    h = d.where(F.col("text").isNotNull()).select(
         "source",
         F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias(
             "chash"
@@ -6069,6 +6084,9 @@ _DRIVER_PRIORITY: list[str] = [
     "lsh_cosine_verify",
     "lsh_jaccard_verify",
     "langid_nb_confusion",  # closure-free char grams (hostile-sweep fix)
+    "dedup_exact",          # oracle counts the null-content group
+    "langid_confusion",     # NULL text predicts 'und', not NULL
+    "quality_keep",         # NULL text is a drop, not a NULL group
     "minhash_lsh_neardup",
     "minhash_signatures",
     "ngram_novelty",
@@ -6077,28 +6095,26 @@ _DRIVER_PRIORITY: list[str] = [
     "substring_dedup",     # zipped-unnest oracle
     "tfidf_phrases",
     "udtf_repeated_ngrams",
-    # -- r03-certified, unchanged, due for recheck (19 of the 31 remaining
+    # -- r03-certified, unchanged, due for recheck (16 of the 31 remaining
     # complement queries fit the 50-row window; preference to the ones with
-    # Python/Arrow/iterative paths). The 12 that overflow — asof_join,
-    # basic_stats, corr_per_group, dim_join_agg, gaps, hist2d,
-    # interval_join, mode_per_group, pivot_metrics, psd_quantiles,
-    # psd_windows, sessionize — are all r01-era pure-Catalyst
-    # aggregates/joins/pivots untouched since their last green row, and are
-    # covered by the full 98-query local sweep at sf0.01 + sf0.001 + the
-    # hostile fixture recorded in BENCH/BASELINE.md (round-5 validation).
+    # Python/Arrow/iterative paths). The 15 that overflow — asof_join,
+    # basic_stats, corr_per_group, dim_join_agg, dup_rate_by_source,
+    # funnel_steps, gaps, hist2d, interval_join, mode_per_group,
+    # pivot_metrics, psd_quantiles, psd_windows, sessionize, split_assign
+    # — are all pure-Catalyst aggregates/joins/windows untouched since
+    # their last green row, and are covered by the full 98-query local
+    # sweep at sf0.01 + sf0.001 + the hostile fixture recorded in
+    # BENCH/BASELINE.md (round-5 validation).
     "adaptive_quality_cut",
     "arrow_token_stats",
     "bm25_rank",
     "bpe_pair_counts",
     "domain_cap",
     "dsir_resample",
-    "dup_rate_by_source",
-    "funnel_steps",
     "inverted_index",
     "mixture_weights",
     "salted_skew_agg",
     "source_overlap",
-    "split_assign",
     "stratified_sample",
     "udaf_trimmed_mean",
     "variant_extract",

@@ -190,7 +190,13 @@ def with_stopword_langid(
     for lang in LANGS:
         cascade = cascade.when(F.col(hit_cols[lang]) == best, F.lit(lang))
     return df.withColumn(
-        out_col, F.when(text.isNotNull(), cascade.otherwise(F.lit(UNKNOWN_LANG)))
+        out_col,
+        # Total function: NULL text predicts 'und' (not NULL) — undetermined
+        # is the classifier's answer for content it cannot see, and the SQL
+        # cascade twin's ELSE branch lands there too (hostile-sweep finding:
+        # NULL-text rows made the two engines' confusion matrices diverge).
+        F.when(text.isNotNull(), cascade.otherwise(F.lit(UNKNOWN_LANG)))
+        .otherwise(F.lit(UNKNOWN_LANG)),
     ).drop(TOK_H, *hit_cols.values())
 
 
