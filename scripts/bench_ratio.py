@@ -70,6 +70,12 @@ def main() -> None:
 
     pkgroot = materialize_prev(ref)
     sys.path.insert(0, pkgroot)
+    # Executor python workers unpickle UDFs that reference
+    # ispaq_spark_prev.*; they resolve imports from PYTHONPATH captured
+    # when the JVM gateway launches, so export it BEFORE get_spark().
+    os.environ["PYTHONPATH"] = pkgroot + os.pathsep + os.environ.get(
+        "PYTHONPATH", ""
+    )
     from ispaq_spark_prev import driver_queries as dq_prev  # noqa: E402
 
     from bench import BENCH_QUERIES, force  # noqa: E402
