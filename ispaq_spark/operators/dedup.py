@@ -61,22 +61,52 @@ def shingles_of(toks: F.Column, k: int = 3, sep: str = " ") -> F.Column:
     lambda body, where the HOF re-evaluates it PER ELEMENT — O(len^2)
     re-splits, ~10^12 character ops on a 10^6-token document (found live
     by the hostile fixture; materializing toks with withColumn does NOT
-    reliably survive the optimizer). This form zips k top-level shifted
+    reliably survive the optimizer). This form zips top-level shifted
     copies instead: every slice is evaluated once per ROW, the zip_with
     lambdas touch only their element arguments, so no optimizer rewrite
-    can make it quadratic."""
+    can make it quadratic.
+
+    Pass count is O(log k) by binary doubling (fast-exponentiation over
+    array-shift-and-concat): `cur` always holds the width-2^m shingle
+    array and squares by zipping with itself shifted 2^m; set bits of k
+    append `cur` to the accumulated prefix `res`. Character copying drops
+    from O(n*k^2) for the naive one-token-per-pass chain (pass j copies
+    width-j partials: sum 2..k) to O(n*k*log k) worst case — for k=8
+    that is 3 passes copying 2+4+8=14n chars vs 7 passes copying 35n.
+    Order is preserved because `res` is always the contiguous prefix
+    block and `cur` is appended at offset res_width.
+
+    Trailing positions are partial (zip_with pads the shorter side with
+    null; concat_ws skips nulls) — position p is a full k-gram iff
+    p <= n-k+1, which is exactly the final slice bound, so partials in
+    INTERMEDIATE widths also never leak: combining a full width-rw prefix
+    at p with a full width-cw block at p+rw needs p <= n-(rw+cw)+1, the
+    same invariant."""
     n = F.size(toks)
-    g = toks
-    for j in range(1, k):
-        # zip_with pads the shorter side with null; concat_ws skips
-        # nulls, and the trailing k-1 partial shingles are trimmed below
-        g = F.zip_with(
-            g,
-            F.slice(toks, j + 1, n - j),
-            lambda a, b: F.concat_ws(sep, a, b),
-        )
+
+    def shift(arr: F.Column, s: int) -> F.Column:
+        return F.slice(arr, s + 1, n - s)
+
+    def join2(a: F.Column, b: F.Column) -> F.Column:
+        return F.zip_with(a, b, lambda x, y: F.concat_ws(sep, x, y))
+
+    res = None  # accumulated prefix shingle array
+    res_w = 0  # its width in tokens
+    cur, cur_w = toks, 1  # current power-of-two block
+    kk = k
+    while kk:
+        if kk & 1:
+            if res is None:
+                res, res_w = cur, cur_w
+            else:
+                res = join2(res, shift(cur, res_w))
+                res_w += cur_w
+        kk >>= 1
+        if kk:  # don't square past the last bit
+            cur = join2(cur, shift(cur, cur_w))
+            cur_w *= 2
     return F.when(
-        n >= k, F.slice(g, 1, F.greatest(n - (k - 1), F.lit(0)))
+        n >= k, F.slice(res, 1, F.greatest(n - (k - 1), F.lit(0)))
     )
 
 

@@ -181,3 +181,48 @@ def test_intradoc_dedup_matches_twin(results):
     assert got[5]["n_removed"] > 0
     # cross-doc copies are NOT intradoc dups: doc 3 keeps everything
     assert got[3]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# shingles_of: the shared builder every gram-grain operator rides on.
+# Property-checks the binary-doubling form (O(log k) zip passes) against a
+# direct Python slice for every width 1..9, both separators, and the edge
+# shapes the hostile fixture taught us to fear: empty, sub-width, exact-k,
+# multibyte/astral tokens.
+# ---------------------------------------------------------------------------
+
+
+def test_shingles_of_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from ispaq_spark.operators.dedup import shingles_of
+
+    cases = [
+        [],
+        ["a"],
+        ["a", "b"],
+        ["a", "b", "c"],
+        ["a", "b", "c", "d", "e"],
+        list("abcdefghij"),
+        ["x"] * 7,
+        [f"tok{i}" for i in range(20)],
+        ["é", "漢", "字", "𝔘", "b"],
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id int, toks array<string>"
+    )
+    for k in range(1, 10):
+        for sep in (" ", ""):
+            got = {
+                r["id"]: r["g"]
+                for r in df.select(
+                    "id", shingles_of(F.col("toks"), k, sep).alias("g")
+                ).collect()
+            }
+            for i, c in enumerate(cases):
+                exp = (
+                    [sep.join(c[p : p + k]) for p in range(len(c) - k + 1)]
+                    if len(c) >= k
+                    else None
+                )
+                assert got[i] == exp, (k, sep, c)
