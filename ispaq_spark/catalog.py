@@ -109,13 +109,30 @@ def merge_into_sql(
     )
     if replace_scope is not None:
         col, values = replace_scope
+        # Backslash must be escaped BEFORE the quote doubling: under
+        # Spark's default parser (escapedStringLiterals=false) a literal
+        # value ending in \ would otherwise escape the closing quote and
+        # corrupt (or inject into) the statement.
         quoted = ", ".join(
-            "'" + str(v).replace("'", "''") + "'" for v in values
+            "'"
+            + str(v).replace("\\", "\\\\").replace("'", "''")
+            + "'"
+            for v in values
+            if v is not None
         )
-        stmt += (
-            f"\nWHEN NOT MATCHED BY SOURCE AND t.{col} IN ({quoted}) "
-            f"THEN DELETE"
-        )
+        # IN () never matches NULL, so a NULL partition value needs its
+        # own IS NULL branch or its stale rows silently survive the
+        # replace.
+        branches = []
+        if quoted:
+            branches.append(f"t.{col} IN ({quoted})")
+        if any(v is None for v in values):
+            branches.append(f"t.{col} IS NULL")
+        if branches:
+            stmt += (
+                f"\nWHEN NOT MATCHED BY SOURCE AND ({' OR '.join(branches)}) "
+                f"THEN DELETE"
+            )
     return stmt
 
 
@@ -200,6 +217,15 @@ class CatalogMergeSink(MetricSink):
         # nondeterministic stage could insert ds values the scope never
         # covered, leaving stale rows in partitions the replace was
         # supposed to clear.
+        # Snapshot the persisted-RDD ids first so the checkpoint blocks can
+        # be RELEASED after the MERGE commits: localCheckpoint has no
+        # public release API and its blocks otherwise stay pinned in
+        # executor storage until driver GC — a long resumable ingest
+        # calling merge() per day would accumulate one materialized batch
+        # per day for the session lifetime. Merges on one sink run
+        # serially (the day loop), so the id delta is this checkpoint's.
+        jsc = self.spark.sparkContext._jsc
+        rdd_ids_before = set(jsc.getPersistentRDDs().keySet().toArray())
         metrics = metrics.localCheckpoint(eager=True)
         # Per-call unique view name: a fixed session-global name lets two
         # sinks (or concurrent merges) in one SparkSession clobber each
@@ -222,10 +248,16 @@ class CatalogMergeSink(MetricSink):
                 # deleted-and-empty. The ds values are collected ONCE
                 # driver-side from the pinned batch (day grain, a handful
                 # of strings).
-                ds_vals = sorted(
+                ds_rows = [
                     r["ds"]
                     for r in metrics.select("ds").distinct().collect()
-                )
+                ]
+                # NULL ds sorts (and quotes) as its own IS NULL branch in
+                # merge_into_sql — sorted() over None-vs-str would raise,
+                # and IN () would never match the NULL partition anyway.
+                ds_vals = sorted(v for v in ds_rows if v is not None)
+                if None in ds_rows:
+                    ds_vals.append(None)
                 if ds_vals:
                     replace_scope = ("ds", ds_vals)
             self.spark.sql(
@@ -239,6 +271,10 @@ class CatalogMergeSink(MetricSink):
             )
         finally:
             self.spark.catalog.dropTempView(view)
+            jmap = jsc.getPersistentRDDs()
+            for rid in jmap.keySet().toArray():
+                if rid not in rdd_ids_before:
+                    jmap.get(rid).unpersist(False)
 
     def read_snapshot(self) -> dict[str, str]:
         import json

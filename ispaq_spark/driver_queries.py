@@ -620,9 +620,12 @@ def q_dup_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle construction = seismicRoll-style strided windows, SURVEY.md §2.5)
     entirely with transform/sequence/slice — arrays never leave the JVM."""
     d = t(spark, sf_dir, "documents")
-    # Materialize tokens as a real column BEFORE the shingle HOF: an inline
-    # split() closed over by the lambda is re-evaluated per shingle position
-    # (HOFs are interpreted, never CSE'd) — O(n²) per document.
+    # The inline split() is safe ONLY because shingles_of is closure-free
+    # (top-level shifted slices, no lambda capturing `toks`): Catalyst's
+    # projection collapsing inlines this expression wherever the column is
+    # referenced, and a capture inside an interpreted HOF lambda would
+    # re-evaluate the split per shingle position — the O(len²) failure the
+    # hostile 10⁶-token fixture exposed.
     toks = F.split(F.col("text"), " ")
     grams = F.coalesce(
         _shingles_of(toks, 3), F.array().cast("array<string>")
@@ -764,8 +767,6 @@ def q_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence(1, len-n+1) descends when the stop is negative; shingles_of
     # is null-guarded for size < k, which explode() then drops — matching
     # the oracle's empty range() on both counts.
-    from .operators.dedup import shingles_of
-
     gram_parts = []
     for n in (2, 3, 4):
         gram_parts.append(
@@ -773,7 +774,7 @@ def q_langid_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 "lang",
                 F.explode(
-                    shingles_of(F.split(F.col("text"), ""), n, sep="")
+                    _shingles_of(F.split(F.col("text"), ""), n, sep="")
                 ).alias("g"),
             )
         )
@@ -1763,9 +1764,16 @@ def _geo_banded_count(
         )
         .drop("thr")
     )
-    n_kept = kept.groupBy("band").agg(F.count(F.lit(1)).alias("n_kept"))
-    kept = kept.join(F.broadcast(n_kept), "band").withColumn(
-        "w", F.col("n_tot") / F.col("n_kept")
+    # n_kept as a window count, not a separate aggregate re-joined back:
+    # `kept` is an uncached plan (cust scan + broadcast-thr join + hash
+    # filter) and a groupBy+join would EXECUTE it twice — two full
+    # customer scans. The window computes it in one pass, and its
+    # per-band partitions are bounded by the lottery cap (~`cap` rows),
+    # so the band shuffle cannot skew.
+    kept = kept.withColumn(
+        "w",
+        F.col("n_tot")
+        / F.count(F.lit(1)).over(Window.partitionBy("band")),
     )
     central = F.degrees(
         F.acos(
@@ -2141,12 +2149,10 @@ def _grams3_cols(d: DataFrame) -> DataFrame:
     transform-with-slice lambda here goes O(len^2) when the optimizer
     inlines split(text) into the per-element body; hostile-fixture
     finding)."""
-    from .operators.dedup import shingles_of
-
     toks = F.split(F.col("text"), " ")
     return (
         d.where(F.size(toks) >= 3)
-        .withColumn("grams", shingles_of(toks, 3))
+        .withColumn("grams", _shingles_of(toks, 3))
         .withColumn("gset", F.array_distinct("grams"))
     )
 
@@ -3329,12 +3335,20 @@ def q_arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     -- TRY_CAST, not CAST: $.k can hold a non-scalar (hostile props carry
     -- nested objects) and DuckDB's CAST hard-errors where Spark's
-    -- try_variant_get yields NULL; TRY matches the try_ semantics
-    SELECT event_id,
-           TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k
-    FROM events
-    WHERE TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
-      AND TRY_CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0
+    -- try_variant_get yields NULL; TRY matches the try_ semantics.
+    -- Integrality gate via the DOUBLE twin: on a fractional k the engines'
+    -- bigint casts DISAGREE (DuckDB rounds 5.5->6, Spark truncates 5.5->5),
+    -- so both sides keep the exact BIGINT value only when the double view
+    -- is integral — fractional k is excluded by both engines identically.
+    WITH e AS (
+      SELECT event_id,
+             TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS kb,
+             TRY_CAST(json_extract(props, '$.k') AS DOUBLE) AS kd
+      FROM events
+    )
+    SELECT event_id, kb AS k
+    FROM e
+    WHERE kb IS NOT NULL AND kd = floor(kd) AND kb % 10 = 0
     """,
 )
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3351,11 +3365,17 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.parse_json("props").alias("pv")
     ).select(
         "event_id",
-        F.try_variant_get(F.col("pv"), "$.k", "bigint").alias("k"),
+        # BIGINT carries the exact value (a >2^53 integer survives);
+        # the DOUBLE twin gates integrality, because the engines' bigint
+        # casts of a FRACTIONAL value disagree (truncate vs round).
+        F.try_variant_get(F.col("pv"), "$.k", "bigint").alias("kb"),
+        F.try_variant_get(F.col("pv"), "$.k", "double").alias("kd"),
     )
-    return v.where(F.col("k").isNotNull() & (F.col("k") % 10 == 0)).select(
-        "event_id", "k"
-    )
+    return v.where(
+        F.col("kb").isNotNull()
+        & (F.col("kd") == F.floor("kd"))
+        & (F.col("kb") % 10 == 0)
+    ).select("event_id", F.col("kb").alias("k"))
 
 
 @qdef(
@@ -6055,7 +6075,7 @@ def q_weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # latest CORRECTNESS json), so every query re-earns a green row across
 # rounds and a silent regression can't hide outside the window.
 _DRIVER_PRIORITY: list[str] = [
-    # -- round-5 NEW or CHANGED (30 queries; exact set computed by diffing
+    # -- round-5 NEW or CHANGED (34 queries; exact set computed by diffing
     # every query's oracle string + spark-function source between the r4
     # verdict commit 078a880 and HEAD). The hostile-fixture hardening
     # (zero-norm exclusion at the scan, indexed-list_transform oracle grams,

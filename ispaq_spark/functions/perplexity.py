@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from ..contract import LM_MIN_COUNT, LM_ORDER, ngram_hash
+from ..operators.dedup import shingles_of
 from ..reference_impl import TOTAL_UNIGRAMS_KEY, perplexity as _ref_perplexity
 
 
@@ -39,8 +40,6 @@ def kgrams_col(toks: Column, order: int = LM_ORDER) -> Column:
         # element (O(len^2) on a 10^6-token doc). The prefixing lambda
         # below touches only its element argument, so it stays O(1) per
         # element under any optimizer rewrite.
-        from ..operators.dedup import shingles_of
-
         prefix = f"{k}|"
         return F.coalesce(
             F.transform(

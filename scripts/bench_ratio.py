@@ -103,33 +103,54 @@ def main() -> None:
     rows = {}
     for name in names:
         t_prev, t_cur = [], []
-        for _ in range(REPS):
-            t0 = time.time()
-            force(prev_qs[name](spark, SF_DIR))
-            t_prev.append(time.time() - t0)
-            t0 = time.time()
-            force(cur_qs[name](spark, SF_DIR))
-            t_cur.append(time.time() - t0)
+        for rep in range(REPS):
+            # Alternate which version goes first each rep: a fixed
+            # prev-first order hands per-query first-touch costs (codegen,
+            # parquet page-cache warm) to prev on rep 1 and systematically
+            # flatters cur; alternating splits the asymmetry across reps
+            # and min-of-REPS then compares equally-warmed runs.
+            order = (
+                [(prev_qs, t_prev), (cur_qs, t_cur)]
+                if rep % 2 == 0
+                else [(cur_qs, t_cur), (prev_qs, t_prev)]
+            )
+            for qs, sink in order:
+                t0 = time.time()
+                force(qs[name](spark, SF_DIR))
+                sink.append(time.time() - t0)
         p, c = min(t_prev), min(t_cur)
         rows[name] = {
             "prev_sec": round(p, 3),
             "cur_sec": round(c, 3),
             "ratio": round(c / p, 3) if p > 0 else None,
         }
-        print(f"{name}: prev {p:.3f}s cur {c:.3f}s ratio {c / p:.2f}")
+        print(f"{name}: prev {p:.3f}s cur {c:.3f}s ratio "
+              f"{(c / p) if p > 0 else float('nan'):.2f}")
 
     payload = {
         "prev_ref": ref,
         "sf_dir": SF_DIR,
         "pinned_cores": PIN_CORES,
-        "protocol": "interleaved prev/cur per rep, one pinned JVM, min-of-3",
+        "protocol": (
+            "interleaved prev/cur per rep (order alternates each rep), "
+            "one pinned JVM, min-of-3"
+        ),
         "queries": rows,
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    worse = {n: r["ratio"] for n, r in rows.items() if r["ratio"] > 1.5}
-    better = {n: r["ratio"] for n, r in rows.items() if r["ratio"] < 0.67}
+    # ratio is None when prev_sec rounded to 0 — skip, don't compare None
+    worse = {
+        n: r["ratio"]
+        for n, r in rows.items()
+        if r["ratio"] is not None and r["ratio"] > 1.5
+    }
+    better = {
+        n: r["ratio"]
+        for n, r in rows.items()
+        if r["ratio"] is not None and r["ratio"] < 0.67
+    }
     print(json.dumps({"n": len(rows), "gt_1.5x": worse, "lt_0.67x": better}))
     spark.stop()
 

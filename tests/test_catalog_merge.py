@@ -126,6 +126,10 @@ class _SqlRecorder:
     def catalog(self):
         return self._spark.catalog
 
+    @property
+    def sparkContext(self):
+        return self._spark.sparkContext
+
 
 def test_catalog_merge_replaces_batch_ds_partitions(spark):
     """MetricSink.merge must REPLACE the batch's ds partitions ATOMICALLY:
@@ -146,8 +150,8 @@ def test_catalog_merge_replaces_batch_ds_partitions(spark):
     # the replace is scoped to the batch's literal ds values, collected
     # once from a pinned materialization of the batch
     assert (
-        "WHEN NOT MATCHED BY SOURCE AND t.ds IN ('2024-01-01') THEN DELETE"
-        in merge
+        "WHEN NOT MATCHED BY SOURCE AND (t.ds IN ('2024-01-01')) "
+        "THEN DELETE" in merge
     )
     assert "MERGE INTO cat.metrics" in merge
     # ds joins the MERGE key (a cross-partition MATCH must be impossible)
@@ -179,12 +183,92 @@ def test_merge_sql_with_replace_scope_parses_under_spark(spark):
         replace_scope=("ds", ["2024-01-01", "2024-01-02"]),
     )
     assert (
-        "WHEN NOT MATCHED BY SOURCE AND t.ds IN "
-        "('2024-01-01', '2024-01-02') THEN DELETE" in sql
+        "WHEN NOT MATCHED BY SOURCE AND (t.ds IN "
+        "('2024-01-01', '2024-01-02')) THEN DELETE" in sql
     )
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
     assert "MergeIntoTable" in plan.getClass().getSimpleName() or (
         "Merge" in plan.toString()
+    )
+
+
+def test_merge_sql_replace_scope_null_and_backslash_values(spark):
+    """Hostile partition values in the replace scope: a NULL ds becomes an
+    IS NULL branch (IN () never matches NULL — its stale rows would
+    silently survive the replace), and a value ending in a backslash must
+    not escape the closing quote under Spark's default backslash-escaped
+    string literals. Both statements must still parse."""
+    sql = merge_into_sql(
+        "metrics",
+        "updates",
+        ["ds"] + KEYS,
+        ["value", "run"],
+        replace_scope=("ds", ["2024-01-01", None]),
+    )
+    assert (
+        "WHEN NOT MATCHED BY SOURCE AND (t.ds IN ('2024-01-01') "
+        "OR t.ds IS NULL) THEN DELETE" in sql
+    )
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(sql)
+
+    sql2 = merge_into_sql(
+        "metrics",
+        "updates",
+        ["ds"] + KEYS,
+        ["value", "run"],
+        replace_scope=("ds", ["2024\\", "it's"]),
+    )
+    assert "t.ds IN ('2024\\\\', 'it''s')" in sql2
+    parser.parsePlan(sql2)
+
+    # all-NULL scope: pure IS NULL branch, no empty IN ()
+    sql3 = merge_into_sql(
+        "metrics",
+        "updates",
+        ["ds"] + KEYS,
+        ["value", "run"],
+        replace_scope=("ds", [None]),
+    )
+    assert "(t.ds IS NULL) THEN DELETE" in sql3
+    assert "IN ()" not in sql3
+    parser.parsePlan(sql3)
+
+
+def test_catalog_merge_releases_checkpoint_blocks(spark):
+    """merge() pins the batch with localCheckpoint for the statement's
+    lifetime only: the checkpoint blocks must be unpersisted after the
+    MERGE, or a per-day resumable ingest accumulates one materialized
+    batch in executor storage per call for the whole session."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    batch = spark.createDataFrame(
+        [("2024-01-01", "m1", 0, 10, 1.0)],
+        "ds string, target string, start int, end int, value double",
+    )
+    sink = _RecordingSink(spark, "cat.metrics")
+    sink.merge(batch)
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), "checkpoint blocks leaked"
+
+
+def test_catalog_merge_tolerates_null_ds_batch(spark):
+    """A batch containing a NULL ds must not crash the driver-side scope
+    collection (None is unorderable against str) and must scope the
+    replace with an IS NULL branch."""
+    batch = spark.createDataFrame(
+        [
+            ("2024-01-01", "m1", 0, 10, 1.0),
+            (None, "m2", 0, 10, 2.0),
+        ],
+        "ds string, target string, start int, end int, value double",
+    )
+    sink = _RecordingSink(spark, "cat.metrics")
+    sink.merge(batch)
+    merge = sink.spark.statements[0]
+    assert (
+        "WHEN NOT MATCHED BY SOURCE AND (t.ds IN ('2024-01-01') "
+        "OR t.ds IS NULL) THEN DELETE" in merge
     )
 
 
