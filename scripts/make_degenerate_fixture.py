@@ -31,6 +31,16 @@ testdata_degenerate/ at the repo root; sweep with
 
     python3 scripts/make_degenerate_fixture.py
     python3 scripts/check_oracle.py testdata_degenerate
+
+`--empty` writes the limiting case instead: ZERO-row fact tables
+(schemas intact, dimensions still populated) — the empty day partition.
+This sweep found the Spark CUBE/ROLLUP standard deviation (zero rows
+where the () grouping set owes a grand-total row); both queries now
+derive grouping sets from the finest aggregate and the full sweep
+passes:
+
+    python3 scripts/make_degenerate_fixture.py /tmp/testdata_empty --empty
+    python3 scripts/check_oracle.py /tmp/testdata_empty
 """
 
 from __future__ import annotations
@@ -104,8 +114,21 @@ def build_events(base: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=base.schema)
 
 
+FACTS = [
+    "documents", "embeddings", "events", "orders", "lineitem",
+    "customer", "supplier", "part",
+]
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
+    if "--empty" in sys.argv:
+        for name in FACTS:
+            write(name, load(name).slice(0, 0))
+        for name in ["region", "nation"]:
+            write(name, load(name))
+        print(f"zero-row fixture written to {OUT}")
+        return
     write("documents", build_documents(load("documents")))
     write("embeddings", build_embeddings(load("embeddings")))
     write("events", build_events(load("events")))

@@ -427,3 +427,29 @@ def test_driver_window_is_exactly_the_cap_and_all_registered():
     assert len(set(pri)) == 50
     assert set(pri) <= set(names)
     assert names[:50] == pri
+
+
+def test_grouping_sets_emit_grand_total_on_empty_input(spark, tmp_path):
+    """SQL-standard empty-input semantics: the () grouping set owes a
+    grand-total row (count 0) even when the input is EMPTY. Spark's
+    Expand-based .cube()/.rollup() emit zero rows there (the zero-row
+    fixture sweep caught the divergence vs the DuckDB oracle), so
+    cube_totals/rollup_periods derive their grouping sets from the
+    finest aggregate instead — this pins the empty-day contract."""
+    import pyarrow.parquet as pq
+
+    for name in ["events", "lineitem"]:
+        tb = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
+        pq.write_table(tb.slice(0, 0), str(tmp_path / f"{name}.parquet"))
+    sf = str(tmp_path)
+    import ispaq_spark.driver_queries as dq
+
+    cube = dq.queries()["cube_totals"](spark, sf).collect()
+    assert len(cube) == 1
+    assert (cube[0]["event_type"], cube[0]["m"]) == (None, None)
+    assert cube[0]["n"] == 0 and cube[0]["sum_value"] is None
+
+    roll = dq.queries()["rollup_periods"](spark, sf).collect()
+    assert len(roll) == 1
+    assert roll[0]["period"] == "ALL"
+    assert roll[0]["n"] == 0 and roll[0]["sum_qty"] is None
