@@ -187,8 +187,11 @@ def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, bin
     ), r AS (
       SELECT event_type, bin, hits,
+             -- NULLS LAST pinned: DuckDB's ASC default is nulls-last,
+             -- Spark's is nulls-FIRST — a NULL-value bin tying for the
+             -- mode would otherwise resolve to opposite winners
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY hits DESC, bin ASC) AS rn
+                                ORDER BY hits DESC, bin ASC NULLS LAST) AS rn
       FROM h
     )
     SELECT event_type, bin AS mode_bin, hits AS mode_hits FROM r WHERE rn = 1
@@ -201,8 +204,10 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.groupBy(
         "event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bin")
     ).agg(F.count(F.lit(1)).alias("hits"))
+    # asc_nulls_last matches DuckDB's ASC default; Spark's bare asc()
+    # sorts NULLs first, flipping a mode tie against a NULL bin
     w = Window.partitionBy("event_type").orderBy(
-        F.col("hits").desc(), F.col("bin").asc()
+        F.col("hits").desc(), F.col("bin").asc_nulls_last()
     )
     return (
         h.withColumn("rn", F.row_number().over(w))
@@ -2130,7 +2135,10 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(c * qx) / (sqrt(sum(c * c)) * sqrt(sum(qx * qx))) AS ccos
       FROM cent JOIN qpos USING (i) GROUP BY label
     ), top AS (
-      SELECT label FROM lc ORDER BY ccos DESC, label ASC LIMIT 2
+      -- probe selection on the 6dp-ROUNDED centroid cosine: ccos comes
+      -- from avg() aggregates whose accumulation order differs per
+      -- engine, so a raw near-tie could flip the probe set entirely
+      SELECT label FROM lc ORDER BY round(ccos, 6) DESC, label ASC LIMIT 2
     ), s AS (
       SELECT a.vec_id,
              round(list_sum(list_transform(range(1, 65), i -> a.v[i] * q.qv[i]))
@@ -2174,7 +2182,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ccos")
         )
     )
-    top = lc.orderBy(F.col("ccos").desc(), F.col("label").asc()).limit(2)
+    # round-before-argmax: centroid cosines derive from avg() partials
+    # whose accumulation order is engine- and partitioning-dependent; the
+    # probe cut must order on the same 6dp value both engines emit
+    top = lc.orderBy(r6("ccos").desc(), F.col("label").asc()).limit(2)
     a = e.alias("a")
     cos = _cos_cols("a.v", "qv")
     return (
@@ -2334,16 +2345,31 @@ def q_sncl_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     the requested order) as split + element_at + concat_ws — pure string
     expressions over a composite id built the same way in both engines."""
     d = t(spark, sf_dir, "documents")
-    sncl = F.concat_ws(
-        ".", F.col("source"), F.col("lang"), (F.col("doc_id") % 10).cast("string")
+    # F.concat, NOT concat_ws: the oracle's '||' PROPAGATES a NULL part
+    # (NULL sncl for a NULL lang/source) where concat_ws silently skips
+    # it — producing a 2-element split whose element_at(p, 3) then throws
+    # under ANSI mode instead of matching the oracle's NULL row.
+    sncl = F.concat(
+        F.col("source"),
+        F.lit("."),
+        F.col("lang"),
+        F.lit("."),
+        (F.col("doc_id") % 10).cast("string"),
     )
     d = d.withColumn("sncl", sncl)
     p = F.split(F.col("sncl"), "\\.")
     return d.select(
         "doc_id",
         "sncl",
-        F.concat_ws(
-            ".", F.element_at(p, 3), F.element_at(p, 2), F.element_at(p, 1)
+        # NULL sncl -> NULL reordered (concat_ws alone would emit '')
+        F.when(
+            F.col("sncl").isNotNull(),
+            F.concat_ws(
+                ".",
+                F.element_at(p, 3),
+                F.element_at(p, 2),
+                F.element_at(p, 1),
+            ),
         ).alias("reordered"),
     )
 
@@ -2390,8 +2416,11 @@ _XCORR_ORACLE = """
       WHERE sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
     ), b AS (
       SELECT user_id, lag, corr, n,
+             -- argmax on the 6dp-ROUNDED r (round-before-argmax):
+             -- numpy's pairwise sums and list_sum's sequential sums can
+             -- differ in the last ulp, flipping a tied-lag pick
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY corr DESC, lag ASC) AS rn
+                                ORDER BY round(corr, 6) DESC, lag ASC) AS rn
       FROM r
     )
     SELECT user_id, CAST(lag AS INT) AS best_lag,
@@ -3081,12 +3110,20 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = d.groupBy("source", "salt").agg(
         F.count("*").alias("pn"),
+        # avg() ignores NULLs: the mean's denominator is the NON-NULL
+        # count (F.count(col)), not the row count — sum/count(*) would
+        # silently deflate the mean the first time a NULL n_chars appears
+        F.count("n_chars").alias("pnn"),
         F.sum("n_chars").alias("pchars"),
     )
     return partial.groupBy("source").agg(
         F.sum("pn").cast("bigint").alias("n_docs"),
         F.sum("pchars").cast("bigint").alias("total_chars"),
-        r6(F.sum("pchars") / F.sum("pn")).alias("mean_chars"),
+        r6(
+            F.when(
+                F.sum("pnn") > 0, F.sum("pchars") / F.sum("pnn")
+            )
+        ).alias("mean_chars"),
     )
 
 
@@ -4862,7 +4899,7 @@ _ANN_RECALL_SQL = """
       SELECT qid, label FROM (
         SELECT qid, label,
                row_number() OVER (PARTITION BY qid
-                                  ORDER BY ccos DESC, label) AS rn
+                                  ORDER BY round(ccos, 6) DESC, label) AS rn
         FROM lc) WHERE rn <= {probes}
     ), cand AS (
       SELECT p.qid, a.vec_id, a.v
@@ -4956,7 +4993,11 @@ def _ann_recall_impl(
         lc.withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("ccos"), "label")
+                # round-before-rank (see ivf_topk): avg()-derived
+                # cosines are accumulation-order-dependent per engine
+                Window.partitionBy("qid").orderBy(
+                    F.desc(r6("ccos")), "label"
+                )
             ),
         )
         .where(F.col("rn") <= probes)
@@ -5716,9 +5757,14 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT tf.source, tf.phrase, tf.tf,
              tf.tf * ln(n.ns / df.df) AS score,
+             -- rank on the 6dp-ROUNDED score (round-before-rank
+             -- convention): Spark's Math.log and libm ln differ in the
+             -- last ulp, so mathematically-tied raw scores from
+             -- different (tf, df) pairs can order differently at the cut
              row_number() OVER (
                PARTITION BY tf.source
-               ORDER BY tf.tf * ln(n.ns / df.df) DESC, tf.phrase) AS rn
+               ORDER BY round(tf.tf * ln(n.ns / df.df), 6) DESC,
+                        tf.phrase) AS rn
       FROM tf JOIN df USING (phrase) CROSS JOIN n
     ) WHERE rn <= 5
     """,
@@ -5762,8 +5808,10 @@ def q_tfidf_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score", F.col("tf") * F.log(F.col("ns") / F.col("df"))
         )
     )
+    # round-before-rank: cross-engine ln() differs in the last ulp, so
+    # the top-5 cut must order on the same 6dp value both engines emit
     rn = F.row_number().over(
-        Window.partitionBy("source").orderBy(F.desc("score"), "phrase")
+        Window.partitionBy("source").orderBy(F.desc(r6("score")), "phrase")
     )
     return (
         scored.withColumn("rn", rn)
@@ -6119,7 +6167,7 @@ def q_weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # latest CORRECTNESS json), so every query re-earns a green row across
 # rounds and a silent regression can't hide outside the window.
 _DRIVER_PRIORITY: list[str] = [
-    # -- round-5 NEW or CHANGED (36 queries; exact set computed by diffing
+    # -- round-5 NEW or CHANGED (40 queries; exact set computed by diffing
     # every query's oracle string + spark-function source between the r4
     # verdict commit 078a880 and HEAD). The hostile-fixture hardening
     # (zero-norm exclusion at the scan, indexed-list_transform oracle grams,
@@ -6161,24 +6209,27 @@ _DRIVER_PRIORITY: list[str] = [
     "udtf_repeated_ngrams",
     "cube_totals",         # derived grouping sets (empty-day std compliance)
     "rollup_periods",      # same zero-row fixture finding
-    # -- r03-certified, unchanged, due for recheck (14 of the 31 remaining
+    # oracle-parity review fixes (round-before-rank/argmax, NULL-ordering,
+    # NULL-propagating concat, avg-vs-sum/count(*) NULL semantics):
+    "cogroup_xcorr",       # 6dp-rounded argmax over lag on both engines
+    "xcorr_collected",     # same shared oracle + numpy kernel
+    "mode_per_group",      # NULLS LAST pinned in the mode tiebreak
+    "sncl_reorder",        # NULL-propagating concat, NULL-guarded reorder
+    # -- r03-certified, unchanged, due for recheck (10 of the 31 remaining
     # complement queries fit the 50-row window; preference to the ones with
-    # Python/Arrow/iterative paths). The 17 that overflow — asof_join,
-    # basic_stats, corr_per_group, dim_join_agg, dup_rate_by_source,
-    # funnel_steps, gaps, hist2d, interval_join, mixture_weights,
-    # mode_per_group, pivot_metrics, psd_quantiles, psd_windows,
-    # sessionize, split_assign, vocab_topk — are all pure-Catalyst
-    # aggregates/joins/windows untouched since their last green row, and
-    # are covered by the full 98-query local sweep at sf0.01 + sf0.001 +
-    # the hostile + degenerate fixtures recorded in BENCH/BASELINE.md
-    # (round-5 validation).
+    # Python/Arrow/iterative paths). The 21 that overflow — asof_join,
+    # basic_stats, bm25_rank, corr_per_group, dim_join_agg, domain_cap,
+    # dsir_resample, dup_rate_by_source, funnel_steps, gaps, hist2d,
+    # interval_join, inverted_index, mixture_weights, pivot_metrics,
+    # psd_quantiles, psd_windows, sessionize, split_assign, vocab_topk
+    # (+ mode_per_group's old slot, now in the changed set) — are all
+    # pure-Catalyst aggregates/joins/windows untouched since their last
+    # green row, and are covered by the full 98-query local sweeps at
+    # sf0.01 + sf0.001 + the hostile, degenerate, and zero-row fixtures
+    # recorded in BENCH/BASELINE.md (round-5 validation).
     "adaptive_quality_cut",
     "arrow_token_stats",
-    "bm25_rank",
     "bpe_pair_counts",
-    "domain_cap",
-    "dsir_resample",
-    "inverted_index",
     "salted_skew_agg",
     "source_overlap",
     "stratified_sample",

@@ -28,6 +28,13 @@ MIN_OVERLAP = 4
 RESULT_SCHEMA = "user_id bigint, best_lag int, peak_corr double, n_pairs int"
 
 
+def _r6(v: float) -> float:
+    """Half-away-from-zero 6-decimal rounding — the SQL ROUND() rule, NOT
+    Python's banker's rounding, so the argmax below compares exactly the
+    values the DuckDB oracle ranks on."""
+    return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+
 def lagged_peak(e, c) -> tuple[int, float, int] | None:
     """(best_lag, peak_corr, n_pairs): max Pearson r over lag in
     [-MAX_LAG, MAX_LAG] pairing e[i] with c[i+lag]; ties -> smaller lag.
@@ -53,7 +60,12 @@ def lagged_peak(e, c) -> tuple[int, float, int] | None:
         den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
         if den <= 0:
             continue
-        r = (n * sxy - sx * sy) / den
+        # round BEFORE the argmax (round-before-argmax convention): numpy's
+        # pairwise summation and the oracle's sequential list_sum differ in
+        # the last ulp, so a raw-value comparison could pick a different
+        # tied lag per engine; the returned peak is the rounded value the
+        # oracle also emits.
+        r = _r6((n * sxy - sx * sy) / den)
         if best is None or r > best[1]:
             best = (lag, r, n)
     return best

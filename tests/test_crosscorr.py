@@ -12,11 +12,26 @@ def _t(i: int) -> dt.datetime:
 
 
 def test_lagged_peak_identical_series():
+    # Non-linear series: only the zero-lag alignment is perfectly
+    # correlated, so lag 0 is the strict unique max.
+    e = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0]
+    best = lagged_peak(e, list(e))
+    assert best is not None
+    lag, r, n = best
+    assert lag == 0 and abs(r - 1.0) < 1e-12 and n == 6
+
+
+def test_lagged_peak_tie_breaks_to_smaller_lag():
+    # A linear RAMP correlates perfectly at EVERY eligible lag (any shift
+    # of a linear series is still linear), so after the 6dp rounding the
+    # argmax sees a genuine tie and the documented rule — smaller lag
+    # wins — picks -1 (lag -2 has overlap 3 < MIN_OVERLAP). The DuckDB
+    # oracle's ORDER BY round(corr, 6) DESC, lag ASC makes the same pick.
     e = [1.0, 2.0, 3.0, 4.0, 5.0]
     best = lagged_peak(e, list(e))
     assert best is not None
     lag, r, n = best
-    assert lag == 0 and abs(r - 1.0) < 1e-12 and n == 5
+    assert lag == -1 and abs(r - 1.0) < 1e-12 and n == 4
 
 
 def test_lagged_peak_detects_shift():
