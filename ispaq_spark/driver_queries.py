@@ -4011,7 +4011,13 @@ def q_orientation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w.user_id, w.event_type, w.widx, w.ws, w.wlen,
              any_value(w.n) AS n_tr, any_value(w.t0) AS t0,
              any_value(w.t1) AS t1,
-             count(*) AS n_obs, avg(ev.value) AS vmean
+             count(*) AS n_obs,
+             -- decimal sum: exact and associative, so the mean is
+             -- independent of accumulation order on both engines (a raw
+             -- double avg() can differ by 1 ulp and flip round(,6) at a
+             -- .0000005 boundary — fuzz seed 101 hit exactly that)
+             CAST(sum(CAST(ev.value AS DECIMAL(38,9))) AS DOUBLE)
+               / count(*) AS vmean
       FROM win2 w JOIN ev
         ON ev.user_id = w.user_id AND ev.event_type = w.event_type
        AND ev.tsec >= w.ws AND ev.tsec < w.ws + wlen
@@ -4093,7 +4099,13 @@ def q_psd_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value(F.col("w.t0")).alias("t0"),
         F.any_value(F.col("w.t1")).alias("t1"),
         F.count(F.lit(1)).alias("n_obs"),
-        F.avg(F.col("e.value")).alias("vmean"),
+        # decimal sum -> one double division: exact, associative, and
+        # therefore identical across engines regardless of partial-agg
+        # order (see the oracle's matching comment; fuzz seed 101)
+        (
+            F.sum(F.col("e.value").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("vmean"),
     )
     coverage = (
         F.col("n_obs")
@@ -6215,13 +6227,14 @@ _DRIVER_PRIORITY: list[str] = [
     "xcorr_collected",     # same shared oracle + numpy kernel
     "mode_per_group",      # NULLS LAST pinned in the mode tiebreak
     "sncl_reorder",        # NULL-propagating concat, NULL-guarded reorder
-    # -- r03-certified, unchanged, due for recheck (10 of the 31 remaining
+    "psd_windows",         # decimal-sum mean (fuzz-seed-101 rounding flip)
+    # -- r03-certified, unchanged, due for recheck (9 of the remaining
     # complement queries fit the 50-row window; preference to the ones with
-    # Python/Arrow/iterative paths). The 21 that overflow — asof_join,
+    # Python/Arrow/iterative paths). The 22 that overflow — asof_join,
     # basic_stats, bm25_rank, corr_per_group, dim_join_agg, domain_cap,
     # dsir_resample, dup_rate_by_source, funnel_steps, gaps, hist2d,
     # interval_join, inverted_index, mixture_weights, pivot_metrics,
-    # psd_quantiles, psd_windows, sessionize, split_assign, vocab_topk
+    # psd_quantiles, sessionize, split_assign, vocab_topk, welch_collected
     # (+ mode_per_group's old slot, now in the changed set) — are all
     # pure-Catalyst aggregates/joins/windows untouched since their last
     # green row, and are covered by the full 98-query local sweeps at
@@ -6236,7 +6249,10 @@ _DRIVER_PRIORITY: list[str] = [
     "udaf_trimmed_mean",
     "variant_extract",
     "welch_coherence",
-    "welch_collected",
+    # welch_collected rotated to the overflow list to keep the window at
+    # exactly 50 when psd_windows re-entered as changed: it shares its
+    # oracle and numpy kernel with welch_coherence (which stays), and the
+    # five local full sweeps cover it.
 ]
 
 
