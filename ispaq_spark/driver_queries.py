@@ -32,6 +32,29 @@ def r6(c) -> F.Column:
     return F.round(c, 6)
 
 
+def dsum(c) -> F.Column:
+    """Accumulation-order-independent sum of a double column: each value is
+    cast to DECIMAL(38,9) (a deterministic per-value quantization), summed
+    in decimal (exact and associative, so partition layout and partial-agg
+    order cannot change the result), and returned as double. A raw double
+    sum() differs by ~n ulps between Spark's partial-aggregation tree and
+    DuckDB's sequential scan, which flips round(,6) when the total sits at
+    a .0000005 boundary (fuzz seed 101 hit exactly that in psd_windows).
+    DuckDB twin: CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE)."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.sum(c.cast("decimal(38,9)")).cast("double")
+
+
+def davg(c) -> F.Column:
+    """Order-independent mean built from dsum / count(col) (count of
+    NON-NULL values, matching avg()'s NULL semantics on both engines).
+    DuckDB twin: CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE)/count(x)."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return dsum(c) / F.count(c)
+
+
 @dataclass(frozen=True)
 class QueryDef:
     name: str
@@ -278,8 +301,12 @@ def q_corr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name,
            count(*) AS n_customers,
-           round(sum(c.c_acctbal), 6) AS sum_acctbal,
-           round(avg(c.c_acctbal), 6) AS avg_acctbal
+           -- decimal sums: order-independent (see dsum); c_acctbal is
+           -- fractional, so a raw double sum is accumulation-order noise
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,9))) AS DOUBLE), 6)
+             AS sum_acctbal,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(c.c_acctbal), 6) AS avg_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -299,8 +326,8 @@ def q_dim_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            r6(F.sum("c_acctbal")).alias("sum_acctbal"),
-            r6(F.avg("c_acctbal")).alias("avg_acctbal"),
+            r6(dsum("c_acctbal")).alias("sum_acctbal"),
+            r6(davg("c_acctbal")).alias("avg_acctbal"),
         )
     )
 
@@ -924,12 +951,18 @@ def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w, count(*) AS c FROM tok GROUP BY w
     ), tot AS (SELECT sum(c) AS total FROM freq),
     doc AS (
+      -- decimal-sum means at both levels: quantize each addend at 1e-9
+      -- (absorbs the 1-ulp ln/exp implementation differences between
+      -- engines), then sum exactly so accumulation order cannot matter
       SELECT tok.doc_id, tok.lang,
-             avg(-ln(freq.c / tot.total)) AS nll
+             CAST(sum(CAST(-ln(freq.c / tot.total) AS DECIMAL(38,9)))
+                  AS DOUBLE) / count(*) AS nll
       FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot
       GROUP BY tok.doc_id, tok.lang
     )
-    SELECT lang, round(avg(exp(nll)), 4) AS avg_ppl
+    SELECT lang,
+           round(CAST(sum(CAST(exp(nll) AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(*), 4) AS avg_ppl
     FROM doc GROUP BY lang
     """,
 )
@@ -948,10 +981,17 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(freq), "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "lang")
-        .agg(F.avg(-F.log(F.col("c") / F.col("total"))).alias("nll"))
+        # decimal-sum means at both levels, mirroring the oracle: the 1e-9
+        # quantization absorbs cross-engine ln/exp ulps and the exact sum
+        # removes accumulation-order noise (see dsum)
+        .agg(
+            (
+                dsum(-F.log(F.col("c") / F.col("total"))) / F.count(F.lit(1))
+            ).alias("nll")
+        )
     )
     return doc.groupBy("lang").agg(
-        F.round(F.avg(F.exp("nll")), 4).alias("avg_ppl")
+        F.round(dsum(F.exp("nll")) / F.count(F.lit(1)), 4).alias("avg_ppl")
     )
 
 
@@ -1539,7 +1579,9 @@ def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-           round(avg(value), 6) AS avg_value
+           -- decimal-sum mean: accumulation-order-independent (see dsum)
+           round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(value), 6) AS avg_value
     FROM events GROUP BY user_id
     """,
 )
@@ -1559,7 +1601,7 @@ def q_state_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = counts.withColumnRenamed(ty, f"n_{ty}").withColumn(
             f"n_{ty}", F.coalesce(F.col(f"n_{ty}"), F.lit(0))
         )
-    avgv = ev.groupBy("user_id").agg(r6(F.avg("value")).alias("avg_value"))
+    avgv = ev.groupBy("user_id").agg(r6(davg("value")).alias("avg_value"))
     return counts.join(avgv, "user_id")
 
 
@@ -3691,11 +3733,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_metrics",
     """
     SELECT user_id,
-           round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+           -- decimal-sum means: order-independent (see dsum); the CASE
+           -- yields NULL for other types, which both sum() and count(expr)
+           -- skip, preserving avg()'s NULL semantics
+           round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+                     AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(CASE WHEN event_type = 'click' THEN value END), 6)
              AS click_avg,
-           round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+           round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END
+                     AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(CASE WHEN event_type = 'view' THEN value END), 6)
              AS view_avg,
-           round(avg(CASE WHEN event_type = 'error' THEN value END), 6)
+           round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END
+                     AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(CASE WHEN event_type = 'error' THEN value END), 6)
              AS error_avg,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events
@@ -3722,7 +3773,10 @@ def q_pivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def avg_of(etype: str):
-        return F.avg(F.when(F.col("event_type") == etype, F.col("value")))
+        # davg over the conditional: sum and count both skip the NULLs the
+        # when() produces, so NULL semantics match avg(); the decimal sum
+        # makes the mean accumulation-order-independent (see dsum)
+        return davg(F.when(F.col("event_type") == etype, F.col("value")))
 
     return ev.groupBy("user_id").agg(
         r6(avg_of("click")).alias("click_avg"),
@@ -4197,7 +4251,11 @@ _DSIR_B = 64  # hashed-feature buckets
            - ln((cs + 1.0) / (ts + {_DSIR_B}.0)) AS lr
       FROM dist, tot
     ), docw AS (
-      SELECT t.doc_id, t.lang, avg(r.lr) AS w
+      -- decimal-sum mean: quantizing lr at 1e-9 absorbs cross-engine
+      -- ln() ulps and the exact sum removes accumulation-order noise
+      SELECT t.doc_id, t.lang,
+             CAST(sum(CAST(r.lr AS DECIMAL(38,9))) AS DOUBLE)
+               / count(r.lr) AS w
       FROM tok t JOIN ratio r ON t.bucket = r.bucket
       GROUP BY t.doc_id, t.lang
     )
@@ -4242,7 +4300,7 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = (
         tok.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id", "lang")
-        .agg(F.avg("lr").alias("w"))
+        .agg(davg("lr").alias("w"))
     )
     return (
         docw.select("doc_id", "lang", r6(F.col("w")).alias("dsir_weight"))
@@ -5438,8 +5496,14 @@ def q_embed_ivf_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM s)
     SELECT source, n_docs, n_chars,
            round(n_docs / n, 6) AS p,
-           round(pow(n_docs / n, 1.0 / 3.0)
-                 / sum(pow(n_docs / n, 1.0 / 3.0)) OVER (), 6) AS w_temp
+           -- pw quantized at 1e-9 on both sides of the ratio: absorbs the
+           -- 1-ulp Math.pow/libm pow difference, and the decimal window
+           -- sum is accumulation-order-independent (see dsum)
+           round(CAST(CAST(pow(n_docs / n, 1.0 / 3.0) AS DECIMAL(38,9))
+                      AS DOUBLE)
+                 / CAST(sum(CAST(pow(n_docs / n, 1.0 / 3.0)
+                                 AS DECIMAL(38,9))) OVER () AS DOUBLE), 6)
+             AS w_temp
     FROM s, tot
     """,
 )
@@ -5466,13 +5530,21 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     return (
         s.crossJoin(F.broadcast(tot))
-        .withColumn("pw", F.pow(p, F.lit(1.0 / 3.0)))
+        # pw quantized at 1e-9 (absorbs Math.pow/libm pow ulps); the
+        # decimal window sum is order-independent — mirrors the oracle
+        .withColumn(
+            "pw",
+            F.pow(p, F.lit(1.0 / 3.0)).cast("decimal(38,9)"),
+        )
         .select(
             "source",
             "n_docs",
             "n_chars",
             r6(p).alias("p"),
-            r6(F.col("pw") / F.sum("pw").over(w)).alias("w_temp"),
+            r6(
+                F.col("pw").cast("double")
+                / F.sum("pw").over(w).cast("double")
+            ).alias("w_temp"),
         )
     )
 
@@ -5490,14 +5562,19 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ch <> ''
       GROUP BY doc_id, source, ch
     ), e AS (
+      -- decimal sums at both levels: each p*ln(p) addend quantized at
+      -- 1e-9 (absorbs cross-engine ln ulps), summed exactly so neither
+      -- alphabet order nor partition layout can move the entropy
       SELECT doc_id, source,
-             -sum((cnt / len) * ln(cnt / len)) AS ent
+             -CAST(sum(CAST((cnt / len) * ln(cnt / len)
+                            AS DECIMAL(38,9))) AS DOUBLE) AS ent
       FROM (SELECT *, sum(cnt) OVER (PARTITION BY doc_id) AS len FROM k)
       GROUP BY doc_id, source
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(ent), 6) AS avg_entropy,
+           round(CAST(sum(CAST(ent AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(ent), 6) AS avg_entropy,
            round(min(ent), 6) AS min_entropy,
            round(max(ent), 6) AS max_entropy
     FROM e GROUP BY source
@@ -5530,11 +5607,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         k.withColumn("len", F.sum("cnt").over(wd))
         .groupBy("doc_id", "source")
-        .agg((-F.sum(p * F.log(p))).alias("ent"))
+        # decimal sums at both levels, mirroring the oracle (see dsum)
+        .agg((-dsum(p * F.log(p))).alias("ent"))
     )
     return e.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        r6(F.avg("ent")).alias("avg_entropy"),
+        r6(davg("ent")).alias("avg_entropy"),
         r6(F.min("ent")).alias("min_entropy"),
         r6(F.max("ent")).alias("max_entropy"),
     )
@@ -6192,7 +6270,9 @@ _DRIVER_PRIORITY: list[str] = [
     "weighted_sample",     # round-before-cut ordering
     "embed_ivf_chain",     # query-driven output (zero-candidate rows)
     "ann_recall",          # same + zero-norm exclusion
-    "ann_recall_probe4",   # same
+    # ann_recall_probe4 rotated to the overflow list: it is ann_recall's
+    # probe-count parameter twin (same oracle family, same chain), and the
+    # full local sweeps cover it on every fixture shape.
     "ann_lsh_buckets",
     "canonical_docs",
     "char_entropy",        # phantom-empty-char oracle fix
@@ -6228,32 +6308,35 @@ _DRIVER_PRIORITY: list[str] = [
     "mode_per_group",      # NULLS LAST pinned in the mode tiebreak
     "sncl_reorder",        # NULL-propagating concat, NULL-guarded reorder
     "psd_windows",         # decimal-sum mean (fuzz-seed-101 rounding flip)
-    # -- r03-certified, unchanged, due for recheck (9 of the remaining
-    # complement queries fit the 50-row window; preference to the ones with
-    # Python/Arrow/iterative paths). The 22 that overflow — asof_join,
-    # basic_stats, bm25_rank, corr_per_group, dim_join_agg, domain_cap,
-    # dsir_resample, dup_rate_by_source, funnel_steps, gaps, hist2d,
-    # interval_join, inverted_index, mixture_weights, pivot_metrics,
-    # psd_quantiles, sessionize, split_assign, vocab_topk, welch_collected
-    # (+ mode_per_group's old slot, now in the changed set) — are all
-    # pure-Catalyst aggregates/joins/windows untouched since their last
-    # green row, and are covered by the full 98-query local sweeps at
-    # sf0.01 + sf0.001 + the hostile, degenerate, and zero-row fixtures
-    # recorded in BENCH/BASELINE.md (round-5 validation).
-    "adaptive_quality_cut",
-    "arrow_token_stats",
+    # -- decimal-sum hardening of every emitted first moment over
+    # fractional doubles (the psd_windows fuzz finding, applied to the
+    # whole class proactively — see dsum/davg):
+    "dim_join_agg",        # decimal sum + mean of c_acctbal
+    "state_flags",         # decimal-sum avg_value
+    "pivot_metrics",       # decimal-sum conditional means
+    "unigram_ppl",         # decimal-sum means at both nll/ppl levels
+    "dsir_resample",       # decimal-sum per-doc weight mean
+    # (char_entropy also got the decimal treatment — it is already in the
+    # changed list above with its phantom-empty-char fix)
+    "mixture_weights",     # quantized pw + decimal window normalization
+    # -- changed earlier this round and still owed a driver row (these
+    # four were formerly mislabeled as pure rechecks; a qdef-block diff vs
+    # the r4 verdict commit 078a880 shows all four changed):
     "bpe_pair_counts",
-    "salted_skew_agg",
+    "salted_skew_agg",     # non-null count partials (parity-review fix)
     "source_overlap",
-    "stratified_sample",
-    "udaf_trimmed_mean",
-    "variant_extract",
-    "welch_coherence",
-    # welch_collected rotated to the overflow list to keep the window at
-    # exactly 50 when psd_windows re-entered as changed: it shares its
-    # oracle and numpy kernel with welch_coherence (which stays), and the
-    # five local full sweeps cover it.
+    "variant_extract",     # fractional-variant integrality double-twin
 ]
+# The r03-certified UNCHANGED overflow — adaptive_quality_cut,
+# arrow_token_stats, asof_join, basic_stats, bm25_rank, corr_per_group,
+# domain_cap, dup_rate_by_source, funnel_steps, gaps, hist2d,
+# interval_join, inverted_index, psd_quantiles, sessionize, split_assign,
+# stratified_sample, udaf_trimmed_mean, vocab_topk, welch_coherence,
+# welch_collected, ann_recall_probe4 — is covered by the full 98-query
+# local sweeps (same comparison code as the driver) at sf0.01 + sf0.001 +
+# the hostile, degenerate, shuffled, zero-row, and seven fuzz-seed
+# fixtures recorded in BENCH/BASELINE.md (round-5 validation). Changed
+# queries always outrank rechecks for the driver's 50-row window.
 
 
 def _ordered_defs() -> list[QueryDef]:
