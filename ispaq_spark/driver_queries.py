@@ -1521,7 +1521,9 @@ def q_piecewise_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(extract(month FROM ts) AS BIGINT) AS m,
            count(*) AS n,
-           round(sum(value), 6) AS sum_value
+           -- decimal sum: order-independent at every grouping-set level
+           round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6)
+             AS sum_value
     FROM events
     GROUP BY CUBE (event_type, m)
     """,
@@ -1544,15 +1546,19 @@ def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").withColumn(
         "m", F.month("ts").cast("bigint")
     )
+    # _s stays DECIMAL through the re-aggregation: decimal addition is
+    # exact and associative, so every grouping-set level is independent of
+    # accumulation order (see dsum); cast to double only at emission
     per = ev.groupBy("event_type", "m").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_s")
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(38,9)")).alias("_s"),
     )
 
     def roll(keys: list[str]) -> DataFrame:
         g = per.groupBy(*keys) if keys else per.groupBy()
         out = g.agg(
             F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n"),
-            r6(F.sum("_s")).alias("sum_value"),
+            r6(F.sum("_s").cast("double")).alias("sum_value"),
         )
         if "event_type" not in keys:
             out = out.withColumn(
@@ -1986,12 +1992,16 @@ def q_snr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH run1 AS (
       SELECT o_orderpriority, CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
-             count(*) AS n, round(sum(o_totalprice), 6) AS total
+             count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE), 6)
+               AS total
       FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
       GROUP BY 1, 2
     ), run2 AS (
       SELECT o_orderpriority, CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
-             count(*) AS n, round(sum(o_totalprice), 6) AS total
+             count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE), 6)
+               AS total
       FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       GROUP BY 1, 2
     )
@@ -2017,7 +2027,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("yr"),
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            r6(F.sum("o_totalprice")).alias("total"),
+            # decimal sum: order-independent (see dsum)
+            r6(dsum("o_totalprice")).alias("total"),
         )
 
     r1 = agg_run(o.where(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))).alias("r1")
@@ -3915,11 +3926,18 @@ def q_welch_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND r.event_type = 'view'
       WHERE n.event_type = 'error'
     ), sums AS (
+      -- decimal sums: exact and associative, so the closed-form corr is
+      -- accumulation-order-independent on both engines (see dsum)
       SELECT user_id, count(*) AS cnt,
-             sum(nv) AS sn, sum(ev) AS se, sum(rv) AS sr,
-             sum(nv * nv) AS snn, sum(ev * ev) AS see,
-             sum(nv * ev) AS sne, sum(nv * rv) AS snr,
-             sum(ev * rv) AS ser, sum(rv * rv) AS srr
+             CAST(sum(CAST(nv AS DECIMAL(38,9))) AS DOUBLE) AS sn,
+             CAST(sum(CAST(ev AS DECIMAL(38,9))) AS DOUBLE) AS se,
+             CAST(sum(CAST(rv AS DECIMAL(38,9))) AS DOUBLE) AS sr,
+             CAST(sum(CAST(nv * nv AS DECIMAL(38,9))) AS DOUBLE) AS snn,
+             CAST(sum(CAST(ev * ev AS DECIMAL(38,9))) AS DOUBLE) AS see,
+             CAST(sum(CAST(nv * ev AS DECIMAL(38,9))) AS DOUBLE) AS sne,
+             CAST(sum(CAST(nv * rv AS DECIMAL(38,9))) AS DOUBLE) AS snr,
+             CAST(sum(CAST(ev * rv AS DECIMAL(38,9))) AS DOUBLE) AS ser,
+             CAST(sum(CAST(rv * rv AS DECIMAL(38,9))) AS DOUBLE) AS srr
       FROM tri GROUP BY user_id HAVING count(*) >= 8
     ), ang AS (
       SELECT s.*, a.angle,
@@ -3982,19 +4000,26 @@ def q_orientation_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(side("click", "ev"), ["user_id", "t"])
         .join(side("view", "rv"), ["user_id", "t"])
     )
+    # the 10 sums are decimal (exact, associative — see dsum): the per-row
+    # products are deterministic IEEE doubles on both engines, and exact
+    # sums make the downstream closed-form corr identical regardless of
+    # accumulation order, so the rounded argmax cannot flip at a boundary
+    def ds(c, name):
+        return dsum(c).alias(name)
+
     sums = (
         tri.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("nv").alias("sn"),
-            F.sum("ev").alias("se"),
-            F.sum("rv").alias("sr"),
-            F.sum(F.col("nv") * F.col("nv")).alias("snn"),
-            F.sum(F.col("ev") * F.col("ev")).alias("see"),
-            F.sum(F.col("nv") * F.col("ev")).alias("sne"),
-            F.sum(F.col("nv") * F.col("rv")).alias("snr"),
-            F.sum(F.col("ev") * F.col("rv")).alias("ser"),
-            F.sum(F.col("rv") * F.col("rv")).alias("srr"),
+            ds(F.col("nv"), "sn"),
+            ds(F.col("ev"), "se"),
+            ds(F.col("rv"), "sr"),
+            ds(F.col("nv") * F.col("nv"), "snn"),
+            ds(F.col("ev") * F.col("ev"), "see"),
+            ds(F.col("nv") * F.col("ev"), "sne"),
+            ds(F.col("nv") * F.col("rv"), "snr"),
+            ds(F.col("ev") * F.col("rv"), "ser"),
+            ds(F.col("rv") * F.col("rv"), "srr"),
         )
         .where(F.col("cnt") >= 8)
     )
@@ -6267,7 +6292,9 @@ _DRIVER_PRIORITY: list[str] = [
     "geo_radius_banded",   # density-capped estimator (exact at fixture)
     "neardup_components",  # alternating-star is now the certified path
     "intradoc_dedup",      # self-guarding empty-gram expr + anti-join oracle
-    "weighted_sample",     # round-before-cut ordering
+    # weighted_sample rotated to the overflow list: weighted_sample_quality
+    # (above) runs the identical A-ES round-before-cut machinery on the
+    # quality weight, so the fixed path keeps a driver row via its twin.
     "embed_ivf_chain",     # query-driven output (zero-candidate rows)
     "ann_recall",          # same + zero-norm exclusion
     # ann_recall_probe4 rotated to the overflow list: it is ann_recall's
@@ -6304,7 +6331,12 @@ _DRIVER_PRIORITY: list[str] = [
     # oracle-parity review fixes (round-before-rank/argmax, NULL-ordering,
     # NULL-propagating concat, avg-vs-sum/count(*) NULL semantics):
     "cogroup_xcorr",       # 6dp-rounded argmax over lag on both engines
-    "xcorr_collected",     # same shared oracle + numpy kernel
+    # xcorr_collected rotated to the overflow list: same shared oracle and
+    # numpy kernel (operators/crosscorr.py) as cogroup_xcorr, which stays.
+    # -- decimal-sum hardening, second batch (fractional sums feeding
+    # emitted rounded values or the rounded argmax):
+    "merge_upsert",        # decimal o_totalprice sums in both runs
+    "orientation_scan",    # 10 decimal moment sums behind the corr argmax
     "mode_per_group",      # NULLS LAST pinned in the mode tiebreak
     "sncl_reorder",        # NULL-propagating concat, NULL-guarded reorder
     "psd_windows",         # decimal-sum mean (fuzz-seed-101 rounding flip)
